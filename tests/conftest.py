@@ -1,0 +1,16 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+Tests run on an 8-device virtual CPU mesh so multi-chip sharding logic is
+exercised without TPU hardware (the reference has no multi-device tests at
+all, SURVEY.md §4).  Must run before jax initializes its backends.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")

@@ -194,10 +194,13 @@ class DiffusionDetArch(nn.Module):
                                dtype=self.compute_dtype, name="backbone")
         self.fpn = FPN(in_features=self.fpn_in, out_channels=self.hidden_dim,
                        dtype=self.compute_dtype, name="fpn")
+        # top-k clamped to the proposal count (box_head.py:235-236).
+        k1 = min(75, self.num_proposals)
+        k2 = min(25, self.num_proposals)
         self.head = DynamicHead(
             num_classes=self.num_classes, d_model=self.hidden_dim,
             num_heads=self.num_heads, num_heads_local=self.num_heads_local,
-            dtype=self.compute_dtype, name="head")
+            top_k=(k1, k2), dtype=self.compute_dtype, name="head")
 
     @property
     def spatial_scales(self):
@@ -240,5 +243,17 @@ class DiffusionDetArch(nn.Module):
         on the current batch, diffusion_det.py:551-557 + box_head.py:319-424)."""
         logits, boxes, pro = self.head.condition(
             feats, self.spatial_scales, bboxes, pro_features, t,
+            memory, memory_mask, train=False)
+        return logits[-1].astype(jnp.float32), boxes[-1].astype(jnp.float32), pro
+
+    def full_forward_test(self, feats, bboxes, t, memory, memory_mask):
+        """Full 4-stage stack at test time (multi-step DDIM re-runs the
+        shared stages each step — box_head.py:286-299 with
+        sampling_timesteps>1, then the conditioned path)."""
+        _, inter_boxes, pro_features, _ = self.head.shared_stages(
+            feats, self.spatial_scales, bboxes, t)
+        last_boxes = inter_boxes[-1]
+        logits, boxes, pro = self.head.condition(
+            feats, self.spatial_scales, last_boxes, pro_features, t,
             memory, memory_mask, train=False)
         return logits[-1].astype(jnp.float32), boxes[-1].astype(jnp.float32), pro

@@ -22,6 +22,7 @@ def select_topk_detections(logits, boxes, num_detections: int):
     labels [D] in 1..K) with D = num_detections.
     """
     n, k = logits.shape
+    num_detections = min(num_detections, n * k)
     scores = jax.nn.sigmoid(logits).reshape(-1)            # [N*K]
     top_scores, top_idx = jax.lax.top_k(scores, num_detections)
     prop_idx = top_idx // k

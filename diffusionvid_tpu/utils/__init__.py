@@ -1,0 +1,12 @@
+from .checkpoint import (
+    save_checkpoint, load_checkpoint, last_checkpoint, merge_pretrained,
+)
+from .torch_convert import convert_torch_state_dict, load_torch_checkpoint
+from .logging import setup_logger, MetricLogger, SmoothedValue
+from .timer import Timer, profile_trace
+
+__all__ = [
+    "save_checkpoint", "load_checkpoint", "last_checkpoint", "merge_pretrained",
+    "convert_torch_state_dict", "load_torch_checkpoint",
+    "setup_logger", "MetricLogger", "SmoothedValue", "Timer", "profile_trace",
+]

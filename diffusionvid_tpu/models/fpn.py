@@ -70,7 +70,14 @@ class FPN(nn.Module):
             prev = laterals[i] + up
             outs[i] = ConvWB(self.out_channels, 3, dtype=self.dtype, name=f"output{i}")(prev)
 
-        strides = [RESNET_FEATURE_STRIDES.get(k, 2 ** (int(k[-1]) + 1)) for k in self.in_features]
+        def stride_of(k):
+            if k in RESNET_FEATURE_STRIDES:
+                return RESNET_FEATURE_STRIDES[k]
+            if k.startswith("swin"):
+                return 4 * 2 ** int(k[4:])
+            return 2 ** (int(k[-1]) + 1)
+
+        strides = [stride_of(k) for k in self.in_features]
         levels = [int(math.log2(s)) for s in strides]
         result = {f"p{l}": o for l, o in zip(levels, outs)}
         if self.top_block:

@@ -123,6 +123,59 @@ def convert_torch_state_dict(state: Dict[str, "np.ndarray"],
             _set(params, ["fpn", f"{kind}{j}", "Conv_0", leaf], v)
             continue
 
+        # ---- Swin backbone ----
+        m = re.match(r"backbone\.bottom_up\.patch_embed\.proj\.(weight|bias)$", name)
+        if m:
+            _set(params, ["backbone", f"patch_embed_{m.group(1)}"], v)
+            continue
+        m = re.match(r"backbone\.bottom_up\.patch_embed\.norm\.(weight|bias)$", name)
+        if m:
+            _set(params, ["backbone", "patch_norm", m.group(1)], v)
+            continue
+        m = re.match(r"backbone\.bottom_up\.layers\.(\d)\.blocks\.(\d+)\.(.+)$", name)
+        if m:
+            s_i, b_i, rest = m.group(1), m.group(2), m.group(3)
+            block = f"layers{s_i}.blocks{b_i}"
+            mm = re.match(r"(norm1|norm2)\.(weight|bias)$", rest)
+            if mm:
+                _set(params, ["backbone", block, mm.group(1), mm.group(2)], v)
+                continue
+            mm = re.match(r"attn\.qkv\.(weight|bias)$", rest)
+            if mm:
+                _set(params, ["backbone", block, "attn", f"qkv_{mm.group(1)}"], v)
+                continue
+            mm = re.match(r"attn\.proj\.(weight|bias)$", rest)
+            if mm:
+                _set(params, ["backbone", block, "attn", f"proj_{mm.group(1)}"], v)
+                continue
+            if rest == "attn.relative_position_bias_table":
+                _set(params, ["backbone", block, "attn",
+                              "relative_position_bias_table"], v)
+                continue
+            mm = re.match(r"mlp\.(fc1|fc2)\.(weight|bias)$", rest)
+            if mm:
+                _set(params, ["backbone", block,
+                              f"mlp_{mm.group(1)}_{mm.group(2)}"], v)
+                continue
+            if rest == "attn.relative_position_index":
+                continue  # recomputed, not a parameter
+            unmatched.append(name)
+            continue
+        m = re.match(r"backbone\.bottom_up\.layers\.(\d)\.downsample\.(reduction\.weight|norm\.(weight|bias))$", name)
+        if m:
+            s_i = m.group(1)
+            if m.group(2) == "reduction.weight":
+                _set(params, ["backbone", f"layers{s_i}.downsample",
+                              "reduction_weight"], v)
+            else:
+                _set(params, ["backbone", f"layers{s_i}.downsample", "norm",
+                              m.group(3)], v)
+            continue
+        m = re.match(r"backbone\.bottom_up\.norm(\d)\.(weight|bias)$", name)
+        if m:
+            _set(params, ["backbone", f"norm{m.group(1)}", m.group(2)], v)
+            continue
+
         # ---- time MLP ----
         m = re.match(r"head\.time_mlp\.(1|3)\.(weight|bias)$", name)
         if m:

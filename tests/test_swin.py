@@ -1,0 +1,93 @@
+"""Swin backbone tests: stage shapes, shifted-window masking, numerical
+sanity, and integration with the DiffusionDet arch."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffusionvid_tpu.models.swin import (
+    SwinTransformer, _relative_position_index, _shift_attn_mask,
+    window_partition, window_reverse,
+)
+
+
+def test_relative_position_index():
+    idx = _relative_position_index(3)
+    assert idx.shape == (9, 9)
+    assert idx.min() >= 0 and idx.max() < 25
+    assert idx[0, 0] == idx[4, 4]  # self-offsets identical
+
+
+def test_window_partition_roundtrip():
+    x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
+    w = window_partition(x, 4)
+    assert w.shape == (2 * 4, 16, 3)
+    rec = window_reverse(w, 4, 2, 8, 8)
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(x))
+
+
+def test_shift_mask_blocks_cross_region():
+    m = _shift_attn_mask(14, 14, 7, 3)
+    assert m.shape == (4, 49, 49)
+    assert (m == 0).any() and (m == -100).any()
+    # first window (interior) is fully visible
+    np.testing.assert_array_equal(m[0], 0)
+
+
+def test_swin_tiny_forward_shapes():
+    model = SwinTransformer(embed_dim=32, depths=(1, 1, 1, 1),
+                            num_heads=(1, 2, 4, 8), window=4,
+                            dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 96, 3))
+    params = model.init({"params": jax.random.PRNGKey(0)}, x)
+    out = model.apply(params, x)
+    assert out["swin0"].shape == (1, 16, 24, 32)
+    assert out["swin1"].shape == (1, 8, 12, 64)
+    assert out["swin2"].shape == (1, 4, 6, 128)
+    assert out["swin3"].shape == (1, 2, 3, 256)
+    for v in out.values():
+        assert np.isfinite(np.asarray(v)).all()
+
+
+def test_swin_handles_non_window_divisible():
+    model = SwinTransformer(embed_dim=16, depths=(2,), num_heads=(2,),
+                            window=4, out_indices=(0,), dtype=jnp.float32)
+    x = jnp.ones((1, 52, 36, 3))   # 13×9 patches — not divisible by 4
+    params = model.init({"params": jax.random.PRNGKey(0)}, x)
+    out = model.apply(params, x)
+    assert out["swin0"].shape == (1, 13, 9, 16)
+    assert np.isfinite(np.asarray(out["swin0"])).all()
+
+
+def test_diffusiondet_with_swin_backbone():
+    from diffusionvid_tpu.models.diffusion_det import DiffusionDetArch
+    model = DiffusionDetArch(
+        num_classes=5, num_proposals=8, hidden_dim=256, num_heads=1,
+        num_heads_local=1, backbone_type="swin", swin_size="T",
+        fpn_in=("swin1", "swin2", "swin3"), compute_dtype=jnp.float32)
+    b, h, w = 2, 64, 96
+    noisy = jnp.tile(jnp.asarray([8.0, 8.0, 60.0, 40.0]), (b, 8, 1))
+    t = jnp.zeros((b,), jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "cfg": jax.random.PRNGKey(1)},
+        jnp.zeros((b, h, w, 3)), noisy, t, num_global=1, train=True)
+    logits, boxes = model.apply(
+        variables, jnp.zeros((b, h, w, 3)), noisy, t, num_global=1,
+        train=True, rngs={"cfg": jax.random.PRNGKey(2)})
+    assert logits.shape == (2, b, 8, 5)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_swin_config_integration():
+    import os
+    import pytest
+    path = "/root/reference/configs/vid_Swin_B_DiffusionVID.yaml"
+    if not os.path.exists(path):
+        pytest.skip("reference absent")
+    from diffusionvid_tpu.config import load_config
+    from diffusionvid_tpu.models.diffusion_det import DiffusionDetArch
+    cfg = load_config(path)
+    model = DiffusionDetArch.from_config(cfg, dtype=jnp.float32)
+    assert model.backbone_type == "swin"
+    assert model.swin_size == "B-22k"
+    assert model.fpn_in == ("swin1", "swin2", "swin3")

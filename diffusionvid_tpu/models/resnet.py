@@ -138,7 +138,10 @@ class ResNet(nn.Module):
         feats = {}
         out_ch = 256
         mid = 64
+        max_stage = max(int(k[-1]) for k in self.out_features)  # res<k>
         for stage_idx, n_blocks in enumerate(blocks):
+            if stage_idx + 2 > max_stage:
+                break
             stride = 1 if stage_idx == 0 else 2
             for b in range(n_blocks):
                 x = Bottleneck(
@@ -152,6 +155,32 @@ class ResNet(nn.Module):
             mid *= 2
             out_ch *= 2
         return {k: feats[k] for k in self.out_features}
+
+
+class ResNetStage(nn.Module):
+    """One standalone ResNet stage — used as the C4 architecture's res5 box
+    head (reference: ResNetHead, backbone/resnet.py:183-226, applied to
+    pooled 14×14 features with stride 2)."""
+
+    depth: int = 101
+    stage: int = 5
+    stride: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n_blocks = RESNET_STAGES[self.depth][self.stage - 2]
+        mid = 64 * (2 ** (self.stage - 2))
+        out_ch = 256 * (2 ** (self.stage - 2))
+        for b in range(n_blocks):
+            x = Bottleneck(
+                mid=mid, out=out_ch,
+                stride=self.stride if b == 0 else 1,
+                has_shortcut=(b == 0),
+                dtype=self.dtype,
+                name=f"layer{self.stage - 1}.{b}",
+            )(x)
+        return x
 
 
 RESNET_FEATURE_CHANNELS = {"res2": 256, "res3": 512, "res4": 1024, "res5": 2048}

@@ -58,6 +58,46 @@ def nms_mask(boxes, scores, iou_threshold: float, valid=None,
     return keep
 
 
+def nms_select(boxes, scores, k: int, iou_threshold: float, valid=None,
+               plus_one: bool = False):
+    """Greedy NMS returning the top-k surviving indices — O(k·N) time and
+    O(N) memory (no N×N IoU matrix), built for the RPN's 6000→300
+    selection (reference: rpn/inference.py + csrc NMS).
+
+    Returns (indices [k], keep_valid [k]): slots beyond the number of
+    survivors are marked invalid (they repeat the argmax of an empty set).
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    off = 1.0 if plus_one else 0.0
+
+    area = (boxes[:, 2] - boxes[:, 0] + off) * (boxes[:, 3] - boxes[:, 1] + off)
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+
+    def body(i, carry):
+        alive, idx_out, val_out = carry
+        masked = jnp.where(alive, scores, neg_inf)
+        j = jnp.argmax(masked)
+        ok = masked[j] > neg_inf
+        bj = boxes[j]
+        lt = jnp.maximum(bj[:2], boxes[:, :2])
+        rb = jnp.minimum(bj[2:], boxes[:, 2:])
+        wh = jnp.clip(rb - lt + off, 0.0)
+        inter = wh[:, 0] * wh[:, 1]
+        iou = inter / jnp.maximum(area + area[j] - inter, 1e-12)
+        alive = alive & ~(iou > iou_threshold) & (jnp.arange(n) != j)
+        idx_out = idx_out.at[i].set(jnp.where(ok, j, 0).astype(jnp.int32))
+        val_out = val_out.at[i].set(ok)
+        return alive, idx_out, val_out
+
+    alive0 = valid
+    idx0 = jnp.zeros((k,), jnp.int32)
+    val0 = jnp.zeros((k,), bool)
+    _, idx, val = jax.lax.fori_loop(0, k, body, (alive0, idx0, val0))
+    return idx, val
+
+
 def batched_nms_mask(boxes, scores, labels, iou_threshold: float, valid=None,
                      plus_one: bool = False):
     """Class-aware NMS via the coordinate-offset trick (detectron2

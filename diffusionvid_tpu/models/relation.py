@@ -1,0 +1,122 @@
+"""Relation-network attention — the RDN/MEGA proposal-interaction core.
+
+Re-design of the reference ``AttentionExtractor``
+(``mega_core/modeling/roi_heads/box_head/roi_box_feature_extractors.py:130-243``):
+rank-geometry position embedding (log-scale center/size offsets →
+sinusoidal embedding → per-group learned bias) plus grouped multi-head
+attention whose logits are ``log(bias + ε) + qk/√d``.  Implemented as one
+batched einsum stack (MXU-shaped) instead of per-group bmm loops.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .heads import Linear
+
+
+def position_matrix(boxes, ref_boxes):
+    """[N, M, 4] log-scale geometry features (extract_position_matrix,
+    roi_box_feature_extractors.py:152-180; +1 width convention)."""
+    def parts(b):
+        # clamp degenerate (padding) boxes so the logs stay finite
+        w = jnp.maximum(b[:, 2] - b[:, 0] + 1.0, 1e-3)
+        h = jnp.maximum(b[:, 3] - b[:, 1] + 1.0, 1e-3)
+        cx = 0.5 * (b[:, 0] + b[:, 2])
+        cy = 0.5 * (b[:, 1] + b[:, 3])
+        return w, h, cx, cy
+
+    w, h, cx, cy = parts(boxes)
+    wr, hr, cxr, cyr = parts(ref_boxes)
+    dx = jnp.log(jnp.abs((cx[:, None] - cxr[None, :]) / w[:, None]) + 1e-3)
+    dy = jnp.log(jnp.abs((cy[:, None] - cyr[None, :]) / h[:, None]) + 1e-3)
+    dw = jnp.log(w[:, None] / wr[None, :])
+    dh = jnp.log(h[:, None] / hr[None, :])
+    return jnp.stack([dx, dy, dw, dh], axis=-1)
+
+
+def position_embedding(pos_mat, feat_dim: int = 64, wave_length: float = 1000.0):
+    """[N, M, feat_dim] sinusoidal embedding (extract_position_embedding,
+    roi_box_feature_extractors.py:130-149)."""
+    n_freq = feat_dim // 8
+    rng = jnp.arange(n_freq, dtype=jnp.float32)
+    dim_mat = wave_length ** (8.0 / feat_dim * rng)          # [n_freq]
+    div = (pos_mat[..., None] * 100.0) / dim_mat             # [N,M,4,n_freq]
+    emb = jnp.concatenate([jnp.sin(div), jnp.cos(div)], axis=-1)
+    return emb.reshape(*pos_mat.shape[:2], feat_dim)
+
+
+class RelationAttention(nn.Module):
+    """One grouped relation-attention layer (attention_module_multi_head,
+    roi_box_feature_extractors.py:183-243)."""
+
+    feat_dim: int = 1024
+    groups: int = 16
+    emb_dim: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, roi_feat, ref_feat, pos_emb, ref_valid=None):
+        """roi_feat [N, D]; ref_feat [M, D]; pos_emb [N, M, emb_dim];
+        ref_valid [M] optional mask.  Returns [N, D] attended features."""
+        d, g = self.feat_dim, self.groups
+        dg = d // g
+
+        # geometric bias: 1×1 conv over the embedding → one weight per group
+        wg = self.param("Wg_weight", nn.initializers.normal(0.01),
+                        (g, self.emb_dim))
+        bg = self.param("Wg_bias", nn.initializers.zeros, (g,))
+        bias = nn.relu(jnp.einsum("nme,ge->nmg", pos_emb.astype(jnp.float32),
+                                  wg) + bg)                   # [N, M, G]
+
+        q = Linear(d, use_bias=False, dtype=self.dtype, name="Wq")(roi_feat)
+        k = Linear(d, use_bias=False, dtype=self.dtype, name="Wk")(ref_feat)
+        q = q.reshape(-1, g, dg)
+        k = k.reshape(-1, g, dg)
+        aff = jnp.einsum("ngd,mgd->nmg", q, k,
+                         preferred_element_type=jnp.float32) / math.sqrt(dg)
+
+        logits = jnp.log(bias + 1e-6) + aff                   # [N, M, G]
+        if ref_valid is not None:
+            logits = jnp.where(ref_valid[None, :, None], logits, -1e9)
+        att = jax.nn.softmax(logits, axis=1)                  # over refs
+
+        # per-group weighted sum of full-dim values, then grouped 1×1 proj
+        out = jnp.einsum("nmg,md->ngd", att.astype(ref_feat.dtype), ref_feat)
+        # Wv: grouped conv [D, G*D] → implement as per-group projection
+        wv = self.param("Wv_weight", nn.initializers.normal(0.01),
+                        (g, d, dg))
+        bv = self.param("Wv_bias", nn.initializers.zeros, (d,))
+        proj = jnp.einsum("ngd,gde->nge", out.astype(jnp.float32), wv)
+        return (proj.reshape(-1, d) + bv).astype(roi_feat.dtype)
+
+
+class RelationStack(nn.Module):
+    """Stacked relation attention with residual + FC, as used by the
+    RDN/MEGA extractors (roi_box_feature_extractors.py:281-488): each stage
+    is feat = relu(fc(feat)) + attention(feat, refs)."""
+
+    num_stages: int = 2
+    feat_dim: int = 1024
+    groups: int = 16
+    emb_dim: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, ref_feat, boxes, ref_boxes, ref_valid=None):
+        pos = position_embedding(position_matrix(boxes, ref_boxes),
+                                 self.emb_dim)
+        x = feat
+        for i in range(self.num_stages):
+            x = nn.relu(Linear(self.feat_dim, dtype=self.dtype,
+                               name=f"fc{i}")(x))
+            att = RelationAttention(self.feat_dim, self.groups, self.emb_dim,
+                                    dtype=self.dtype, name=f"attn{i}")(
+                x, ref_feat, pos, ref_valid)
+            x = x + att
+        return x

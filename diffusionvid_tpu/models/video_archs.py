@@ -1,0 +1,238 @@
+"""MEGA-family video detection meta-architectures: DFF, FGFA, RDN, MEGA.
+
+Functional re-designs of the reference detectors
+(``mega_core/modeling/detector/``):
+
+  * ``DFFArch``    — generalized_rcnn_dff.py:42-120: key frames run the full
+    backbone; other frames warp the key features with FlowNetS flow and the
+    predicted per-channel scale map;
+  * ``FGFAArch``   — generalized_rcnn_fgfa.py:45-150: neighbor features are
+    flow-warped onto the current frame and aggregated with EmbedNet cosine
+    weights (softmax over frames per position);
+  * ``RDNArch``    — generalized_rcnn_rdn.py: current-frame proposals are
+    enhanced by relation attention over reference-frame proposals;
+  * ``MEGAArch``   — generalized_rcnn_mega.py:389-672: RDN plus a
+    fixed-size FPS-deduplicated global feature memory carried as explicit
+    state (``MegaState``) instead of Python deques.
+
+All are compositions over the classic pieces (GeneralizedRCNN backbone/
+RPN/box head) with static shapes; streaming state is a pytree threaded by
+the caller, mirroring the DiffusionVID streaming engine design.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.memory import FeatureMemory, init_memory, update_erase_memory
+from .box_head import FastRCNNPredictor, postprocess_classic
+from .flownet import EmbedNet, FlowNetS, warp_features
+from .heads import Linear
+from .rcnn import GeneralizedRCNN
+from .relation import RelationStack
+
+
+class DFFArch(nn.Module):
+    """Deep Feature Flow: detect on warped key-frame features."""
+
+    depth: int = 101
+    num_classes: int = 31
+    key_frame_duration: int = 10
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.detector = GeneralizedRCNN(depth=self.depth,
+                                        num_classes=self.num_classes,
+                                        dtype=self.dtype, name="detector")
+        self.flownet = FlowNetS(predict_scale=True, dtype=self.dtype,
+                                name="flownet")
+
+    def key_features(self, images):
+        return self.detector.features(images)
+
+    def warp_from_key(self, key_images, cur_images, key_feat):
+        """Warp key-frame res4 features onto the current frame
+        (generalized_rcnn_dff.py:72-95)."""
+        pair = jnp.concatenate([cur_images / 255.0, key_images / 255.0], -1)
+        flow, scale = self.flownet(pair)
+        flow = flow[:, : key_feat.shape[1], : key_feat.shape[2]]
+        scale = scale[:, : key_feat.shape[1], : key_feat.shape[2]]
+        return warp_features(key_feat, flow) * scale
+
+    def detect(self, feat, image_hw):
+        props, _ = self.detector.proposals(feat, image_hw, train=False)
+        x = self.detector.box_features(feat, props.boxes)
+        cls_logits, box_deltas = self.detector.predictor(x)
+        return jax.vmap(lambda cl, bd, pb, pv: postprocess_classic(
+            cl, bd, pb, pv, image_hw))(cls_logits, box_deltas,
+                                       props.boxes, props.valid)
+
+    def __call__(self, key_images, cur_images, image_hw, is_key: bool = False):
+        key_feat = self.key_features(key_images)
+        feat = key_feat if is_key else self.warp_from_key(
+            key_images, cur_images, key_feat)
+        return self.detect(feat, image_hw)
+
+
+class FGFAArch(nn.Module):
+    """Flow-Guided Feature Aggregation."""
+
+    depth: int = 101
+    num_classes: int = 31
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.detector = GeneralizedRCNN(depth=self.depth,
+                                        num_classes=self.num_classes,
+                                        dtype=self.dtype, name="detector")
+        self.flownet = FlowNetS(predict_scale=False, dtype=self.dtype,
+                                name="flownet")
+        self.embednet = EmbedNet(dtype=self.dtype, name="embednet")
+
+    def aggregate(self, cur_images, ref_images, ref_feats):
+        """Warp each ref feature to cur + cosine-weighted aggregation
+        (generalized_rcnn_fgfa.py:45-110). ref axis leads: [R,H',W',C]."""
+        r = ref_images.shape[0]
+        cur_rep = jnp.repeat(cur_images, r, axis=0)
+        pair = jnp.concatenate([cur_rep / 255.0, ref_images / 255.0], -1)
+        flow = self.flownet(pair)
+        flow = flow[:, : ref_feats.shape[1], : ref_feats.shape[2]]
+        warped = warp_features(ref_feats, flow)               # [R,H,W,C]
+
+        emb = self.embednet(warped)                           # [R,H,W,E]
+        cur_emb = self.embednet(warped[-1:])  # last ref is cur itself
+        norm = lambda e: e / jnp.maximum(
+            jnp.linalg.norm(e.astype(jnp.float32), axis=-1, keepdims=True), 1e-6)
+        cos = jnp.sum(norm(emb) * norm(cur_emb), axis=-1)     # [R,H,W]
+        w = jax.nn.softmax(cos, axis=0)[..., None]
+        return jnp.sum(warped.astype(jnp.float32) * w, axis=0,
+                       keepdims=True).astype(warped.dtype)
+
+    def __call__(self, cur_images, ref_images, image_hw):
+        """ref_images must include the current frame as its last entry."""
+        ref_feats = self.detector.features(ref_images)
+        feat = self.aggregate(cur_images, ref_images, ref_feats)
+        props, _ = self.detector.proposals(feat, image_hw, train=False)
+        x = self.detector.box_features(feat, props.boxes)
+        cls_logits, box_deltas = self.detector.predictor(x)
+        return jax.vmap(lambda cl, bd, pb, pv: postprocess_classic(
+            cl, bd, pb, pv, image_hw))(cls_logits, box_deltas,
+                                       props.boxes, props.valid)
+
+
+class RDNArch(nn.Module):
+    """Relation Distillation Network: relation attention over reference-
+    frame proposals (2 base stages)."""
+
+    depth: int = 101
+    num_classes: int = 31
+    feat_dim: int = 1024
+    relation_stages: int = 2
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.detector = GeneralizedRCNN(depth=self.depth,
+                                        num_classes=self.num_classes,
+                                        dtype=self.dtype, name="detector")
+        self.reduce = Linear(self.feat_dim, dtype=self.dtype, name="reduce")
+        self.relation = RelationStack(num_stages=self.relation_stages,
+                                      feat_dim=self.feat_dim,
+                                      dtype=self.dtype, name="relation")
+        self.predictor = FastRCNNPredictor(self.num_classes, name="predictor")
+
+    def pooled(self, feat, boxes):
+        x = self.detector.box_features(feat, boxes)     # [B,R,2048]
+        return nn.relu(self.reduce(x))                  # [B,R,1024]
+
+    def __call__(self, cur_images, ref_images, image_hw):
+        """Single-image inference: cur [1,H,W,3], refs [L,H,W,3]."""
+        all_images = jnp.concatenate([cur_images, ref_images], 0)
+        feats = self.detector.features(all_images)
+        cur_feat, ref_feat = feats[:1], feats[1:]
+
+        props, _ = self.detector.proposals(cur_feat, image_hw, train=False)
+        ref_props, _ = self.detector.proposals(ref_feat, image_hw,
+                                               train=False, ref=True)
+
+        cur_x = self.pooled(cur_feat, props.boxes)[0]               # [R,1024]
+        ref_x = jax.vmap(lambda f, b: self.pooled(f[None], b[None])[0])(
+            ref_feat, ref_props.boxes).reshape(-1, self.feat_dim)   # [L*75,1024]
+        ref_boxes = ref_props.boxes.reshape(-1, 4)
+        ref_valid = ref_props.valid.reshape(-1)
+
+        x = self.relation(cur_x, ref_x, props.boxes[0], ref_boxes, ref_valid)
+        cls_logits, box_deltas = self.predictor(x[None])
+        return jax.vmap(lambda cl, bd, pb, pv: postprocess_classic(
+            cl, bd, pb, pv, image_hw))(cls_logits, box_deltas,
+                                       props.boxes, props.valid)
+
+
+class MegaState(NamedTuple):
+    """Streaming state for MEGA: FPS global memory of proposal features +
+    boxes count (the deque stack of generalized_rcnn_mega.py:446-605
+    collapsed into fixed-size buffers)."""
+
+    mem: FeatureMemory
+
+
+class MEGAArch(RDNArch):
+    """MEGA = RDN + global FPS memory attention.
+
+    Functional streaming: ``init_state`` → repeated ``update_memory`` with
+    global-frame proposal features → ``__call__`` attends over local refs
+    and the memory jointly (MEGAFeatureExtractor._forward_test,
+    roi_box_feature_extractors.py:1472-1515)."""
+
+    memory_size: int = 750
+
+    def init_state(self) -> MegaState:
+        return MegaState(init_memory(self.memory_size, self.feat_dim))
+
+    def memory_features(self, images, image_hw):
+        """Global frame → 75 ref proposals → pooled 1024-d features
+        (generalized_rcnn_mega.py:446-526)."""
+        feat = self.detector.features(images)
+        props, _ = self.detector.proposals(feat, image_hw, train=False,
+                                           ref=True)
+        x = self.pooled(feat, props.boxes)
+        return x.reshape(-1, self.feat_dim), props.valid.reshape(-1)
+
+    def update_memory(self, state: MegaState, feats, valid) -> MegaState:
+        count = valid.sum().astype(jnp.int32)
+        # compact valid features to a prefix (order-preserving)
+        order = jnp.argsort(~valid)        # valid first, stable
+        return MegaState(update_erase_memory(state.mem, feats[order], count))
+
+    def __call__(self, cur_images, ref_images, image_hw,
+                 state: MegaState = None):
+        all_images = jnp.concatenate([cur_images, ref_images], 0)
+        feats = self.detector.features(all_images)
+        cur_feat, ref_feat = feats[:1], feats[1:]
+
+        props, _ = self.detector.proposals(cur_feat, image_hw, train=False)
+        ref_props, _ = self.detector.proposals(ref_feat, image_hw,
+                                               train=False, ref=True)
+        cur_x = self.pooled(cur_feat, props.boxes)[0]
+        ref_x = jax.vmap(lambda f, b: self.pooled(f[None], b[None])[0])(
+            ref_feat, ref_props.boxes).reshape(-1, self.feat_dim)
+        ref_boxes = ref_props.boxes.reshape(-1, 4)
+        ref_valid = ref_props.valid.reshape(-1)
+
+        if state is not None:
+            mem_valid = jnp.arange(self.memory_size) < state.mem.count
+            # memory features carry no geometry: give them neutral unit boxes
+            mem_boxes = jnp.tile(jnp.asarray([0.0, 0.0, 1.0, 1.0]),
+                                 (self.memory_size, 1))
+            ref_x = jnp.concatenate([ref_x, state.mem.feats], 0)
+            ref_boxes = jnp.concatenate([ref_boxes, mem_boxes], 0)
+            ref_valid = jnp.concatenate([ref_valid, mem_valid], 0)
+
+        x = self.relation(cur_x, ref_x, props.boxes[0], ref_boxes, ref_valid)
+        cls_logits, box_deltas = self.predictor(x[None])
+        return jax.vmap(lambda cl, bd, pb, pv: postprocess_classic(
+            cl, bd, pb, pv, image_hw))(cls_logits, box_deltas,
+                                       props.boxes, props.valid)

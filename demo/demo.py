@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Visualization demo: run DiffusionVID-TPU on a folder of frames or a
+video file and write annotated images/video.
+
+Equivalent of the reference ``demo/demo.py`` + ``demo/predictor.py``
+(VIDDemo: per-frame streaming inference replicated outside the dataset,
+box overlay, image or video output).
+
+Usage:
+    python demo/demo.py --config-file configs/vid_R_101_DiffusionVID.yaml \
+        --checkpoint OUTPUT/model_0001000 \
+        [--visualize-path path/to/frames_or.mp4] [--output-folder out/]
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from diffusionvid_tpu.data.vid_dataset import VID_CLASSES
+
+PALETTE = np.array([2 ** 25 - 1, 2 ** 15 - 1, 2 ** 21 - 1])
+
+
+def label_color(label: int):
+    c = (int(label) * PALETTE) % 255
+    return tuple(int(v) for v in c)
+
+
+def overlay_boxes(img_bgr, boxes, scores, labels, score_thresh=0.5):
+    import cv2
+    out = img_bgr.copy()
+    for box, score, label in zip(boxes, scores, labels):
+        if score < score_thresh:
+            continue
+        x1, y1, x2, y2 = [int(round(v)) for v in box]
+        color = label_color(label)
+        cv2.rectangle(out, (x1, y1), (x2, y2), color, 2)
+        name = VID_CLASSES[int(label)] if 0 <= int(label) < len(VID_CLASSES) else str(label)
+        cv2.putText(out, f"{name}:{score:.2f}", (x1, max(y1 - 4, 10)),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1)
+    return out
+
+
+def read_frames(path):
+    """Folder of images or a video file → list of BGR frames + names."""
+    import cv2
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.JPEG"))
+                       + glob.glob(os.path.join(path, "*.jpg"))
+                       + glob.glob(os.path.join(path, "*.png")))
+        return [cv2.imread(f) for f in files], [os.path.basename(f) for f in files]
+    cap = cv2.VideoCapture(path)
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(frame)
+    cap.release()
+    return frames, [f"{i:06d}.jpg" for i in range(len(frames))]
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config-file", required=True)
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--visualize-path", required=True)
+    parser.add_argument("--output-folder", default="demo_out")
+    parser.add_argument("--score-thresh", type=float, default=0.5)
+    parser.add_argument("--output-video", action="store_true")
+    parser.add_argument("opts", nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from diffusionvid_tpu.config import load_config
+    from diffusionvid_tpu.data.transforms import (
+        frame_bucket, resize_scale, transform_frame)
+    from diffusionvid_tpu.engine import StreamingDetector
+    from diffusionvid_tpu.models.diffusion_det import DiffusionDetArch, signal_to_boxes
+    from diffusionvid_tpu.utils import load_checkpoint, setup_logger
+
+    logger = setup_logger()
+    cfg = load_config(args.config_file, args.opts)
+    model = DiffusionDetArch.from_config(cfg)
+    f = cfg.INPUT.INFER_BATCH
+
+    frames_bgr, names = read_frames(args.visualize_path)
+    assert frames_bgr, f"no frames at {args.visualize_path}"
+    h0, w0 = frames_bgr[0].shape[:2]
+    scale = resize_scale(h0, w0, cfg.INPUT.MIN_SIZE_TEST, cfg.INPUT.MAX_SIZE_TEST)
+    bucket = frame_bucket(h0, w0, cfg.INPUT.MIN_SIZE_TEST, cfg.INPUT.MAX_SIZE_TEST)
+    rw, rh = int(round(w0 * scale)), int(round(h0 * scale))
+    whwh = jnp.asarray([rw, rh, rw, rh], jnp.float32)
+
+    def prep(img_bgr):
+        rgb = cv2.cvtColor(img_bgr, cv2.COLOR_BGR2RGB).astype(np.float32)
+        return transform_frame(rgb, scale, False, bucket)
+
+    # init params / load checkpoint
+    boxes0 = signal_to_boxes(
+        jax.random.normal(jax.random.PRNGKey(0), (f, model.num_proposals, 4)),
+        whwh, 2.0)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "cfg": jax.random.PRNGKey(1)},
+        jnp.zeros((f, *bucket, 3)), boxes0, jnp.zeros((f,), jnp.int32),
+        num_global=1, train=False)
+    if args.checkpoint:
+        variables = {"params": load_checkpoint(args.checkpoint)["params"]}
+        logger.info(f"loaded {args.checkpoint}")
+
+    mega = cfg.MODEL.VID.MEGA
+    det = StreamingDetector(
+        model, variables, infer_batch=f,
+        sample_step=cfg.MODEL.DiffusionDet.SAMPLE_STEP,
+        mem_size=mega.MEMORY_MANAGEMENT_SIZE_TEST,
+        num_proposals=cfg.MODEL.DiffusionDet.NUM_PROPOSALS)
+
+    # global memory from evenly spaced frames
+    ginit = np.linspace(0, len(frames_bgr) - 1,
+                        min(mega.GLOBAL.SIZE, len(frames_bgr))).astype(int)
+    gframes = jnp.asarray(np.stack([prep(frames_bgr[i]) for i in ginit]))
+    state = det.start_video(jax.random.PRNGKey(2), gframes, whwh)
+
+    os.makedirs(args.output_folder, exist_ok=True)
+    writer = None
+    for start in range(0, len(frames_bgr), f):
+        chunk = frames_bgr[start: start + f]
+        n_valid = len(chunk)
+        while len(chunk) < f:
+            chunk.append(chunk[-1])
+        batch = jnp.asarray(np.stack([prep(c) for c in chunk]))
+        state, dets = det.process_chunk(state, batch, whwh)
+        for i in range(n_valid):
+            keep = np.asarray(dets.valid[i])
+            boxes = np.asarray(dets.boxes[i])[keep] / scale
+            scores = np.asarray(dets.scores[i])[keep]
+            labels = np.asarray(dets.labels[i])[keep]
+            vis = overlay_boxes(frames_bgr[start + i], boxes, scores, labels,
+                                args.score_thresh)
+            if args.output_video:
+                if writer is None:
+                    path = os.path.join(args.output_folder, "demo.avi")
+                    writer = cv2.VideoWriter(
+                        path, cv2.VideoWriter_fourcc(*"MJPG"), 25, (w0, h0))
+                writer.write(vis)
+            else:
+                cv2.imwrite(os.path.join(args.output_folder,
+                                         names[start + i]), vis)
+        logger.info(f"processed {start + n_valid}/{len(frames_bgr)}")
+    if writer is not None:
+        writer.release()
+    logger.info(f"output written to {args.output_folder}")
+
+
+if __name__ == "__main__":
+    main()

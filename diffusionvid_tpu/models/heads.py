@@ -166,6 +166,7 @@ class RCNNHead(nn.Module):
     pooler_resolution: int = 7
     sampling_ratio: int = 2
     conditioned: bool = False
+    use_time: bool = True       # False → plain Sparse R-CNN stage (DAFA)
     prior_prob: float = 0.01
     dtype: Any = jnp.float32
 
@@ -209,7 +210,11 @@ class RCNNHead(nn.Module):
         fc = obj_features.reshape(b * n, d)
 
         # Time FiLM (+ conditioning shift for the conditioned stage).
-        if self.conditioned:
+        if not self.use_time:
+            if cond is not None:
+                fc = fc + Linear(d, dtype=self.dtype, name="c_mlp")(
+                    nn.silu(cond.reshape(b * n, d)))
+        elif self.conditioned:
             scale = Linear(d, dtype=self.dtype, name="block_time_mlp")(nn.silu(time_emb))
             scale = jnp.repeat(scale, n, axis=0)
             shift = Linear(d, dtype=self.dtype, name="c_mlp")(nn.silu(cond.reshape(b * n, d)))
@@ -217,7 +222,8 @@ class RCNNHead(nn.Module):
             ss = Linear(2 * d, dtype=self.dtype, name="block_time_mlp")(nn.silu(time_emb))
             ss = jnp.repeat(ss, n, axis=0)
             scale, shift = jnp.split(ss, 2, axis=-1)
-        fc = fc * (scale + 1.0) + shift
+        if self.use_time:
+            fc = fc * (scale + 1.0) + shift
 
         cls_feat = fc
         for i in range(self.num_cls):

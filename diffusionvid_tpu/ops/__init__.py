@@ -3,6 +3,8 @@ from .roi_align import roi_align, multilevel_roi_align, fpn_level_assignment
 from .fps import farthest_point_sample, select_farthest_k_greedy, pairwise_l2_distance
 from .memory import FeatureMemory, init_memory, update_erase_memory
 from .losses import sigmoid_focal_loss, smooth_l1_loss
+from .deform import deform_conv2d, roi_pool, deform_psroi_pool
+from .nms import nms_select
 
 __all__ = [
     "nms_mask", "batched_nms_mask",
@@ -10,4 +12,5 @@ __all__ = [
     "farthest_point_sample", "select_farthest_k_greedy", "pairwise_l2_distance",
     "FeatureMemory", "init_memory", "update_erase_memory",
     "sigmoid_focal_loss", "smooth_l1_loss",
+    "deform_conv2d", "roi_pool", "deform_psroi_pool", "nms_select",
 ]

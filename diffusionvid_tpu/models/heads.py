@@ -33,7 +33,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.roi_align import multilevel_roi_align
+from ..ops.roi_align import multilevel_roi_align_auto
 from ..structures.boxes import apply_deltas_diffusion
 
 
@@ -181,7 +181,7 @@ class RCNNHead(nn.Module):
         d = self.d_model
         b, n = bboxes.shape[:2]
 
-        roi = multilevel_roi_align(
+        roi = multilevel_roi_align_auto(
             features, bboxes, spatial_scales,
             output_size=self.pooler_resolution,
             sampling_ratio=self.sampling_ratio,

@@ -170,3 +170,18 @@ def multilevel_roi_align(features: Sequence, rois, spatial_scales: Sequence[floa
     out = out.reshape(b, r, p, sr, p, sr, c)
     out = out.mean(axis=(3, 5))
     return out  # [B, R, p, p, C]
+
+
+def multilevel_roi_align_auto(features, rois, spatial_scales,
+                              output_size: int = 7, sampling_ratio: int = 2,
+                              aligned: bool = True, **kw):
+    """Backend dispatch: the Pallas banded kernel on TPU (3-level FPN),
+    the XLA gather formulation elsewhere (CPU tests, odd configs)."""
+    import jax
+    if jax.default_backend() in ("tpu", "axon") and len(features) == 3:
+        from .roi_align_pallas import multilevel_roi_align_mxu
+        return multilevel_roi_align_mxu(features, rois, spatial_scales,
+                                        output_size, sampling_ratio, aligned,
+                                        **kw)
+    return multilevel_roi_align(features, rois, spatial_scales, output_size,
+                                sampling_ratio, aligned)

@@ -1,0 +1,213 @@
+"""Pallas TPU kernel for multi-level ROIAlignV2.
+
+The XLA gather formulation (ops/roi_align.py) runs at ~21 ms per 8-frame
+chunk on v5e — random 4-corner row gathers cap at ~2% of HBM bandwidth.
+This kernel exploits two structural facts:
+
+  1. With a regular sampling grid, bilinear ROIAlign is *separable*: a
+     y-pass interpolates 2 feature rows per sample row, then an x-pass
+     interpolates 2 columns per sample column — bands, not gathers.
+  2. All FPN levels of one frame fit in VMEM together (p3+p4+p5 at
+     608×1024 ≈ 6.5 MB bf16), so every ROI touches VMEM only.
+
+Mosaic-shaped details (each avoids a known lowering cliff):
+  * dynamic row slices are only taken on dims *beyond* the (sublane, lane)
+    pair — feature maps are sliced on their H dim (dim 1 of the 4D block),
+    the scratch on its sample dim (dim 0);
+  * the x-pass reads an 8-aligned 16-column window (`pl.multiple_of`) and
+    reduces it with a one-hot-built weight vector, since unaligned dynamic
+    sublane starts don't lower;
+  * all stores are full rows — the 2x2 sampling-grid mean is fused into
+    the kernel so the output is the final [7, 7, C] tile (x-major; the
+    tiny transpose happens outside in XLA);
+  * ROI band indices live in SMEM (scalars for slicing), band weights in
+    VMEM (read per-ROI as a [s, 2] vector).
+
+Border semantics match the CUDA kernel exactly — band (index, weight)
+pairs are precomputed in jnp with the same clamp + zero-outside-(-1, size)
+rules, including the y_high == y_low edge at the last row.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .roi_align import fpn_level_assignment
+
+
+def _band_params(coords, sizes):
+    """Per sample: (lo int32, w_lo, w_hi) with ROIAlign border semantics.
+    ``sizes`` broadcasts per ROI.  lo in [0, size-2]; weights absorb the
+    clamping (a sample in the last cell puts its whole weight on slot 1)."""
+    sz = sizes.astype(jnp.float32)
+    inside = (coords > -1.0) & (coords < sz)
+    cc = jnp.clip(coords, 0.0, sz - 1.0)
+    low = jnp.floor(cc)
+    high = jnp.minimum(low + 1.0, sz - 1.0)
+    l = cc - low
+    w_low = (1.0 - l) * inside
+    w_high = jnp.where(high > low, l * inside, 0.0)
+    lo = jnp.clip(low, 0.0, jnp.maximum(sz - 2.0, 0.0))
+    shifted = low > lo
+    w0 = jnp.where(shifted, 0.0, w_low)
+    w1 = jnp.where(shifted, w_low, w_high)
+    return lo.astype(jnp.int32), w0.astype(jnp.float32), w1.astype(jnp.float32)
+
+
+def _kernel(level_shapes, f3_ref, f4_ref, f5_ref, lvl_ref, y0_ref, x0_ref,
+            wy_ref, wx_ref, o_ref, t_ref, *, rb: int, s: int, p: int,
+            sr: int, pad_wl: int):
+    """One (frame, ROI-block) tile.
+
+    f{3,4,5}_ref [1, Hl, Wl, C] — VMEM-resident level maps
+    lvl_ref [1, R, 1] (SMEM)    — assigned level per ROI
+    y0_ref/x0_ref [1, R, s]     — band start indices (SMEM)
+    wy_ref/wx_ref [1, R, s, 2]  — band weights (VMEM)
+    o_ref [1, RB, p, p, C]      — final pooled tile, x-major [j7, i7]
+    t_ref scratch [s, pad_Wl, C]
+    """
+    block = pl.program_id(1)
+    c = t_ref.shape[-1]
+    inv = 1.0 / (sr * sr)
+
+    def make_branch(f_ref, wl):
+        def branch(i, g):
+            wyv = wy_ref[0, g]                      # [s, 2]
+            wxv = wx_ref[0, g]
+
+            for k in range(s):                      # y-pass: full-row stores
+                lo = y0_ref[0, g, k]
+                rows = f_ref[0, pl.ds(lo, 2), :, :]          # [2, Wl, C]
+                w0 = wyv[k, 0].astype(rows.dtype)
+                w1 = wyv[k, 1].astype(rows.dtype)
+                interp = rows[0] * w0 + rows[1] * w1         # [Wl, C]
+                t_ref[k] = jnp.pad(interp, ((0, pad_wl - wl), (0, 0)))
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 16, 1), 1)
+            for j7 in range(p):                     # x-pass + fused 2x2 mean
+                acc = jnp.zeros((s, c), jnp.float32)
+                for u in range(sr):
+                    j = j7 * sr + u
+                    lo = x0_ref[0, g, j]
+                    lo8 = pl.multiple_of((lo // 8) * 8, 8)
+                    d = lo - lo8
+                    win = t_ref[:, pl.ds(lo8, 16), :]        # [s, 16, C]
+                    w0 = wxv[j, 0]
+                    w1 = wxv[j, 1]
+                    w16 = (jnp.where(lane == d, w0, 0.0)
+                           + jnp.where(lane == d + 1, w1, 0.0))
+                    acc = acc + jnp.sum(
+                        win.astype(jnp.float32) * w16.astype(jnp.float32),
+                        axis=1)
+                # fold the y sampling pairs with a tiny constant matmul
+                # ([p, s] pair-sum matrix — reshape+sum relayouts don't
+                # lower in Mosaic)
+                ri = jax.lax.broadcasted_iota(jnp.int32, (p, s), 0)
+                ci = jax.lax.broadcasted_iota(jnp.int32, (p, s), 1)
+                fold = ((ci // sr) == ri).astype(jnp.float32)
+                pooled = jax.lax.dot_general(
+                    fold, acc, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * inv
+                o_ref[0, i, j7] = pooled.astype(o_ref.dtype)
+
+        return branch
+
+    branches = [make_branch(f3_ref, level_shapes[0][1]),
+                make_branch(f4_ref, level_shapes[1][1]),
+                make_branch(f5_ref, level_shapes[2][1])]
+
+    def roi_loop(i, _):
+        g = block * rb + i
+        jax.lax.switch(lvl_ref[0, g, 0], branches, i, g)
+        return 0
+
+    jax.lax.fori_loop(0, rb, roi_loop, 0)
+
+
+def multilevel_roi_align_mxu(features: Sequence, rois,
+                             spatial_scales: Sequence[float],
+                             output_size: int = 7, sampling_ratio: int = 2,
+                             aligned: bool = True, roi_block: int = 50,
+                             canonical_box_size: float = 224.0,
+                             canonical_level: int = 4):
+    """Drop-in replacement for ops.roi_align.multilevel_roi_align backed by
+    the Pallas banded-separable kernel (3-level FPN; other configurations
+    fall back to the gather formulation)."""
+    from .roi_align import multilevel_roi_align
+
+    p, sr = output_size, sampling_ratio
+    s = p * sr
+    b, r = rois.shape[:2]
+    c = features[0].shape[-1]
+    if len(features) != 3 or r % roi_block != 0:
+        return multilevel_roi_align(features, rois, spatial_scales,
+                                    output_size, sampling_ratio, aligned)
+
+    min_level = int(round(-math.log2(spatial_scales[0])))
+    level = fpn_level_assignment(rois, 3, min_level, canonical_box_size,
+                                 canonical_level)        # [B, R] in {0,1,2}
+
+    ts = (jnp.arange(p)[:, None]
+          + (jnp.arange(sr)[None, :] + 0.5) / sr).reshape(-1)
+    half = 0.5 if aligned else 0.0
+    rf = rois.astype(jnp.float32)
+
+    scales = jnp.asarray(spatial_scales, jnp.float32)[level]          # [B,R]
+    hs = jnp.asarray([f.shape[1] for f in features], jnp.int32)[level]
+    ws = jnp.asarray([f.shape[2] for f in features], jnp.int32)[level]
+
+    x1 = rf[..., 0] * scales - half
+    y1 = rf[..., 1] * scales - half
+    bw = (rf[..., 2] - rf[..., 0]) * scales
+    bh = (rf[..., 3] - rf[..., 1]) * scales
+    if not aligned:
+        bw = jnp.maximum(bw, 1.0)
+        bh = jnp.maximum(bh, 1.0)
+    ys = y1[..., None] + (bh / p)[..., None] * ts        # [B,R,s]
+    xs = x1[..., None] + (bw / p)[..., None] * ts
+
+    y0, wy0, wy1 = _band_params(ys, hs[..., None])
+    x0, wx0, wx1 = _band_params(xs, ws[..., None])
+    wy = jnp.stack([wy0, wy1], axis=-1)                  # [B,R,s,2]
+    wx = jnp.stack([wx0, wx1], axis=-1)
+
+    shapes = [(f.shape[1], f.shape[2]) for f in features]
+    pad_wl = max(w for _, w in shapes) + 16
+
+    grid = (b, r // roi_block)
+    out = pl.pallas_call(
+        functools.partial(_kernel, shapes, rb=roi_block, s=s, p=p, sr=sr,
+                          pad_wl=pad_wl),
+        out_shape=jax.ShapeDtypeStruct((b, r, p, p, c), features[0].dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, *shapes[0], c), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((1, *shapes[1], c), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((1, *shapes[2], c), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((1, r, 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, r, s), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, r, s), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, r, s, 2), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((1, r, s, 2), lambda i, j: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, roi_block, p, p, c),
+                               lambda i, j: (i, j, 0, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((s, pad_wl, c), features[0].dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(features[0], features[1], features[2], level[..., None], y0, x0, wy, wx)
+
+    # kernel emits x-major [.., j7, i7, C]: transpose the tiny 7x7 pair
+    return out.transpose(0, 1, 3, 2, 4)

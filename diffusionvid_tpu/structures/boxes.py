@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import math
+
 import jax.numpy as jnp
 
 
@@ -139,7 +141,7 @@ def clip_to_image(boxes, image_size_hw, plus_one: bool = False):
 #     (box_head.py:550-590, detectron2 Box2BoxTransform semantics)
 # --------------------------------------------------------------------------
 
-_DEFAULT_SCALE_CLAMP = jnp.log(1000.0 / 16)
+_DEFAULT_SCALE_CLAMP = math.log(1000.0 / 16)
 
 
 def encode_boxes(reference_boxes, proposals, weights=(10.0, 10.0, 5.0, 5.0),

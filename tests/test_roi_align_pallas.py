@@ -1,0 +1,47 @@
+"""Pallas ROIAlign kernel vs the gather formulation (interpreter mode —
+the real kernel is exercised on TPU by bench.py and the TPU test run)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffusionvid_tpu.ops.roi_align import multilevel_roi_align
+from diffusionvid_tpu.ops.roi_align_pallas import multilevel_roi_align_mxu, _band_params
+
+
+def test_band_params_interior_and_border():
+    coords = jnp.asarray([[2.3, -0.4, 7.6, -1.5, 9.0]])
+    sizes = jnp.asarray([[8.0]])
+    lo, w0, w1 = _band_params(coords, sizes)
+    lo, w0, w1 = np.asarray(lo[0]), np.asarray(w0[0]), np.asarray(w1[0])
+    # interior: band [2,3], weights (0.7, 0.3)
+    assert lo[0] == 2 and abs(w0[0] - 0.7) < 1e-5 and abs(w1[0] - 0.3) < 1e-5
+    # -0.4 is inside (-1, 8): clamps to 0 → full weight on slot 0
+    assert lo[1] == 0 and abs(w0[1] - 1.0) < 1e-5 and abs(w1[1]) < 1e-5
+    # 7.6 → low=7=size-1: band shifts to [6,7], weight on slot 1
+    assert lo[2] == 6 and abs(w0[2]) < 1e-5 and abs(w1[2] - 1.0) < 1e-5
+    # -1.5 and 9.0 are outside → zero weights
+    assert w0[3] == w1[3] == 0.0
+    assert w0[4] == w1[4] == 0.0
+
+
+@pytest.mark.slow
+def test_kernel_matches_gather_interpreted():
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.RandomState(0)
+    f, p_, d = 2, 50, 256
+    feats = [jnp.asarray(rng.randn(f, 16, 24, d).astype(np.float32)),
+             jnp.asarray(rng.randn(f, 8, 12, d).astype(np.float32)),
+             jnp.asarray(rng.randn(f, 4, 6, d).astype(np.float32))]
+    scales = (1 / 8, 1 / 16, 1 / 32)
+    boxes = rng.uniform(0, 100, (f, p_, 4)).astype(np.float32)
+    boxes[..., 2:] = boxes[..., :2] + rng.uniform(10, 120, (f, p_, 2))
+    boxes = jnp.asarray(boxes)
+
+    ref = multilevel_roi_align(feats, boxes, scales)
+    with pltpu.force_tpu_interpret_mode():
+        got = multilevel_roi_align_mxu(feats, boxes, scales, roi_block=25)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)

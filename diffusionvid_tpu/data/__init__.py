@@ -11,6 +11,8 @@ from .sampling import (
     VideoChunks,
 )
 from .catalog import get_dataset, DATASETS
+from .samplers import aspect_ratio_group_ids, grouped_batches
+from .coco_voc import COCODataset, VOCDataset, evaluate_still
 
 __all__ = [
     "VIDDataset", "FrameAnno", "parse_vid_xml", "pad_groundtruth",
@@ -20,4 +22,6 @@ __all__ = [
     "SampleConfig", "build_train_sample", "train_sample_stream",
     "iter_test_videos", "VideoChunks",
     "get_dataset", "DATASETS",
+    "aspect_ratio_group_ids", "grouped_batches",
+    "COCODataset", "VOCDataset", "evaluate_still",
 ]

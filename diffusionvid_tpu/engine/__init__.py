@@ -1,5 +1,7 @@
 from .postprocess import postprocess_frame, postprocess_ensemble, select_topk_detections
 from .streaming import StreamingDetector, StreamState
+from .bbox_aug import hflip_tta, merge_augmented, flip_boxes_back
+from .seq_nms import seq_nms_video, seq_nms_class
 from .train import (
     TrainBatch, TrainState, make_optimizer, make_loss_fn, make_train_step,
     warmup_multistep_schedule,
@@ -8,6 +10,8 @@ from .train import (
 __all__ = [
     "postprocess_frame", "postprocess_ensemble", "select_topk_detections",
     "StreamingDetector", "StreamState",
+    "hflip_tta", "merge_augmented", "flip_boxes_back",
+    "seq_nms_video", "seq_nms_class",
     "TrainBatch", "TrainState", "make_optimizer", "make_loss_fn",
     "make_train_step", "warmup_multistep_schedule",
 ]

@@ -1,0 +1,114 @@
+"""Aux subsystem tests: bbox TTA, samplers, COCO/VOC adapters, multihost
+merge (single-process path), logging/metrics."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from diffusionvid_tpu.engine.bbox_aug import (
+    flip_boxes_back, merge_augmented, hflip_tta)
+from diffusionvid_tpu.data.samplers import grouped_batches
+from diffusionvid_tpu.data.coco_voc import COCODataset, evaluate_still
+from diffusionvid_tpu.parallel.multihost import gather_predictions
+from diffusionvid_tpu.utils import MetricLogger, SmoothedValue
+
+
+def test_flip_boxes_roundtrip():
+    boxes = np.asarray([[10.0, 5.0, 50.0, 45.0]])
+    back = flip_boxes_back(flip_boxes_back(boxes, 100.0), 100.0)
+    np.testing.assert_allclose(back, boxes)
+
+
+def test_merge_augmented_dedups():
+    d0 = {"boxes": np.asarray([[10, 10, 50, 50]], np.float32),
+          "scores": np.asarray([0.9], np.float32),
+          "labels": np.asarray([2])}
+    d1 = {"boxes": np.asarray([[11, 11, 51, 51]], np.float32),
+          "scores": np.asarray([0.8], np.float32),
+          "labels": np.asarray([2])}
+    m = merge_augmented([d0, d1])
+    assert len(m["scores"]) == 1 and m["scores"][0] == pytest.approx(0.9)
+    # different class survives
+    d2 = dict(d1, labels=np.asarray([3]))
+    m2 = merge_augmented([d0, d2])
+    assert len(m2["scores"]) == 2
+
+
+def test_hflip_tta_merges():
+    def fake_detect(frames, whwh):
+        # one box at left edge in the given frames
+        return [{"boxes": np.asarray([[0.0, 0.0, 10.0, 10.0]], np.float32),
+                 "scores": np.asarray([0.7], np.float32),
+                 "labels": np.asarray([1])} for _ in range(len(frames))]
+
+    frames = np.zeros((2, 8, 16, 3), np.float32)
+    whwh = np.asarray([16.0, 8.0, 16.0, 8.0])
+    out = hflip_tta(fake_detect, frames, whwh)
+    assert len(out) == 2
+    # original at x=0..10 and flipped-back at x=5..15 → two distinct boxes
+    assert len(out[0]["scores"]) == 2
+
+
+def test_grouped_batches_single_group_per_batch():
+    group_ids = np.asarray([0, 1] * 10)
+    batches = []
+    for i, b in enumerate(grouped_batches(group_ids, 4, seed=1)):
+        batches.append(b)
+        if i >= 9:
+            break
+    for b in batches:
+        gs = {int(group_ids[i]) for i in b}
+        assert len(gs) == 1
+        assert len(b) == 4
+
+
+def test_grouped_batches_sharding_disjoint():
+    group_ids = np.zeros(32, np.int64)
+    b0 = next(grouped_batches(group_ids, 8, seed=0, shard=0, num_shards=2))
+    b1 = next(grouped_batches(group_ids, 8, seed=0, shard=1, num_shards=2))
+    assert not (set(b0) & set(b1))
+
+
+def test_coco_adapter(tmp_path):
+    coco = {
+        "images": [{"id": 1, "file_name": "a.jpg", "height": 100, "width": 200},
+                   {"id": 2, "file_name": "b.jpg", "height": 100, "width": 200}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 7,
+             "bbox": [10, 20, 30, 40], "iscrowd": 0},
+        ],
+        "categories": [{"id": 7, "name": "car"}, {"id": 9, "name": "dog"}],
+    }
+    p = tmp_path / "instances.json"
+    p.write_text(json.dumps(coco))
+    ds = COCODataset(str(p), str(tmp_path))
+    assert len(ds) == 1                       # empty image filtered
+    anno = ds.get_groundtruth(0)
+    np.testing.assert_allclose(anno.boxes[0], [10, 20, 40, 60])
+    assert anno.labels[0] == 1                # cat id 7 → contiguous 1
+    assert ds.classes == ("__background__", "car", "dog")
+
+    preds = [{"boxes": anno.boxes, "scores": np.asarray([0.9], np.float32),
+              "labels": anno.labels}]
+    res = evaluate_still(ds, preds)
+    assert res["ap50"] == pytest.approx(1.0)
+
+
+def test_gather_predictions_single_process_identity():
+    preds = [{"boxes": np.zeros((1, 4))}]
+    assert gather_predictions(preds) is preds
+
+
+def test_metric_logger():
+    m = MetricLogger()
+    for v in range(10):
+        m.update(loss=float(v))
+    assert m.loss.count == 10
+    assert m.loss.global_avg == pytest.approx(4.5)
+    assert "loss" in str(m)
+    s = SmoothedValue(window=3)
+    for v in (1, 2, 9):
+        s.update(v)
+    assert s.median == 2

@@ -109,10 +109,32 @@ def seq_nms_class(boxes_frames: List[np.ndarray],
     keep = [np.ones(len(s), bool) for s in scores]
     dead = [np.zeros(len(s), bool) for s in scores]  # chained or suppressed
 
-    links = _build_links(boxes)
+    # native fast path: chain DP in C++ (vidkit), links recomputed from the
+    # dead mask each round — no Python link bookkeeping needed
+    from ..native import max_chain_native, get_lib
+    use_native = get_lib() is not None
+    if use_native:
+        offsets = np.zeros(num_frames + 1, np.int32)
+        for f in range(num_frames):
+            offsets[f + 1] = offsets[f] + len(scores[f])
+        flat_boxes = (np.concatenate(boxes) if offsets[-1]
+                      else np.zeros((0, 4)))
+        flat_scores = (np.concatenate(scores) if offsets[-1]
+                       else np.zeros(0))
+
+    links = None if use_native else _build_links(boxes)
 
     while True:
-        root, path, total = _max_path(links, scores, dead)
+        if use_native:
+            flat_dead = (np.concatenate(dead).astype(np.uint8)
+                         if offsets[-1] else np.zeros(0, np.uint8))
+            flat_scores = (np.concatenate(scores) if offsets[-1]
+                           else np.zeros(0))
+            root, gpath, total = max_chain_native(
+                flat_boxes, flat_scores, flat_dead, offsets, LINK_IOU)
+            path = [g - int(offsets[root + i]) for i, g in enumerate(gpath)]
+        else:
+            root, path, total = _max_path(links, scores, dead)
         if len(path) < 1 or total < MIN_CHAIN_SCORE:
             break
         mean_score = total / len(path)
@@ -127,15 +149,16 @@ def seq_nms_class(boxes_frames: List[np.ndarray],
                 keep[f] &= ~sup
                 dead[f] |= sup
                 scores[f][sup] = 0.0
-                # cut links of suppressed boxes
-                if f < len(links):
-                    for s_idx in np.nonzero(sup)[0]:
-                        links[f][s_idx] = []
-                if f > 0:
-                    for prior in links[f - 1]:
+                if links is not None:
+                    # python fallback keeps explicit link bookkeeping
+                    if f < len(links):
                         for s_idx in np.nonzero(sup)[0]:
-                            if s_idx in prior:
-                                prior.remove(s_idx)
+                            links[f][s_idx] = []
+                    if f > 0:
+                        for prior in links[f - 1]:
+                            for s_idx in np.nonzero(sup)[0]:
+                                if s_idx in prior:
+                                    prior.remove(s_idx)
     return keep, [s.astype(np.float32) for s in scores]
 
 

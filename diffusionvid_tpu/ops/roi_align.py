@@ -172,16 +172,51 @@ def multilevel_roi_align(features: Sequence, rois, spatial_scales: Sequence[floa
     return out  # [B, R, p, p, C]
 
 
+import functools
+
+import jax
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _pallas_roi_align_diff(features, rois, spatial_scales, output_size,
+                           sampling_ratio):
+    from .roi_align_pallas import multilevel_roi_align_mxu
+    return multilevel_roi_align_mxu(list(features), rois, spatial_scales,
+                                    output_size, sampling_ratio)
+
+
+def _pra_fwd(features, rois, spatial_scales, output_size, sampling_ratio):
+    out = _pallas_roi_align_diff(features, rois, spatial_scales, output_size,
+                                 sampling_ratio)
+    return out, (features, rois)
+
+
+def _pra_bwd(spatial_scales, output_size, sampling_ratio, res, g):
+    """Backward via the gather formulation's transpose (XLA scatter).
+    Box gradients are zero — the reference CUDA ROIAlign backward also
+    only produces feature gradients (ROIAlign_cuda.cu)."""
+    features, rois = res
+    _, vjp = jax.vjp(
+        lambda f: multilevel_roi_align(list(f), rois, spatial_scales,
+                                       output_size, sampling_ratio),
+        features)
+    (df,) = vjp(g)
+    return df, jax.numpy.zeros_like(rois)
+
+
+_pallas_roi_align_diff.defvjp(_pra_fwd, _pra_bwd)
+
+
 def multilevel_roi_align_auto(features, rois, spatial_scales,
                               output_size: int = 7, sampling_ratio: int = 2,
                               aligned: bool = True, **kw):
-    """Backend dispatch: the Pallas banded kernel on TPU (3-level FPN),
-    the XLA gather formulation elsewhere (CPU tests, odd configs)."""
-    import jax
-    if jax.default_backend() in ("tpu", "axon") and len(features) == 3:
-        from .roi_align_pallas import multilevel_roi_align_mxu
-        return multilevel_roi_align_mxu(features, rois, spatial_scales,
-                                        output_size, sampling_ratio, aligned,
-                                        **kw)
+    """Backend dispatch: the Pallas banded kernel on TPU (3-level FPN) with
+    a gather-transpose backward; the XLA gather formulation elsewhere
+    (CPU tests, odd configs)."""
+    if (jax.default_backend() in ("tpu", "axon") and len(features) == 3
+            and aligned and rois.shape[1] % 50 == 0):
+        return _pallas_roi_align_diff(tuple(features), rois,
+                                      tuple(spatial_scales), output_size,
+                                      sampling_ratio)
     return multilevel_roi_align(features, rois, spatial_scales, output_size,
                                 sampling_ratio, aligned)

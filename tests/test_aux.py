@@ -112,3 +112,25 @@ def test_metric_logger():
     for v in (1, 2, 9):
         s.update(v)
     assert s.median == 2
+
+
+def test_metrics_writer_and_resume_purge(tmp_path):
+    from diffusionvid_tpu.utils import MetricsWriter
+    d = str(tmp_path)
+    w = MetricsWriter(d)
+    for step in (10, 20, 30):
+        w.write(step, loss=1.0 / step)
+    w.close()
+    # resume at 20 purges the step-30 record
+    w2 = MetricsWriter(d, resume_step=20)
+    w2.write(25, loss=0.5)
+    w2.close()
+    lines = [json.loads(l) for l in open(os.path.join(d, "metrics.jsonl"))]
+    assert [r["step"] for r in lines] == [10, 20, 25]
+
+
+def test_check_expected_results():
+    from diffusionvid_tpu.utils import check_expected_results
+    check_expected_results({"ap50": 0.87}, [["ap50", 0.869, 0.005]], 4)
+    with pytest.raises(AssertionError):
+        check_expected_results({"ap50": 0.5}, [["ap50", 0.869, 0.005]], 4)

@@ -92,6 +92,12 @@ def main():
         max_videos=args.max_videos)
     if results:
         logger.info(f"FINAL AP50 = {results['ap50']:.4f}")
+        if cfg.TEST.EXPECTED_RESULTS:
+            from diffusionvid_tpu.utils import check_expected_results
+            check_expected_results(
+                {"ap50": results["ap50"]}, cfg.TEST.EXPECTED_RESULTS,
+                cfg.TEST.EXPECTED_RESULTS_SIGMA_TOL)
+            logger.info("EXPECTED_RESULTS check passed")
 
 
 if __name__ == "__main__":

@@ -42,8 +42,9 @@ def main():
     from diffusionvid_tpu.parallel import (
         make_mesh, make_dp_train_step, shard_batch_pytree, replicate)
     from diffusionvid_tpu.utils import (
-        setup_logger, MetricLogger, save_checkpoint, load_checkpoint,
-        last_checkpoint, load_torch_checkpoint, merge_pretrained)
+        setup_logger, MetricLogger, MetricsWriter, save_checkpoint,
+        load_checkpoint, last_checkpoint, load_torch_checkpoint,
+        merge_pretrained)
 
     cfg = load_config(args.config_file, args.opts)
     output_dir = cfg.OUTPUT_DIR
@@ -115,6 +116,7 @@ def main():
     streams = [train_sample_stream(ds, sample_cfg, seed=i, shard=s, num_shards=n_dp)
                for s in range(n_dp) for i, ds in enumerate(datasets[:1])]
     meters = MetricLogger()
+    writer = MetricsWriter(output_dir, resume_step=start_iter if args.resume else None)
     rng = jax.random.PRNGKey(3)
     t_last = time.perf_counter()
 
@@ -131,11 +133,36 @@ def main():
         state, metrics = step_fn(state, batch, r)
 
         if (it + 1) % 20 == 0:
-            meters.update(**{k: float(v) for k, v in metrics.items()})
+            vals = {k: float(v) for k, v in metrics.items()}
+            meters.update(**vals)
             dt = (time.perf_counter() - t_last) / 20
             t_last = time.perf_counter()
             logger.info(f"iter {it + 1}/{sol.MAX_ITER} {meters} "
                         f"({dt:.3f}s/it)")
+            writer.write(it + 1, sec_per_iter=dt,
+                         **{f"Train/{k}": v for k, v in vals.items()})
+        if sol.TEST_PERIOD and (it + 1) % sol.TEST_PERIOD == 0 and cfg.DATASETS.TEST:
+            # periodic validation (engine/trainer.py:187-207 semantics)
+            try:
+                from diffusionvid_tpu.engine.inference import run_inference
+                val_ds = get_dataset(cfg.DATASETS.TEST[0], is_train=False,
+                                     data_dir=args.data_dir)
+                val_cfg = SampleConfig(
+                    num_global=num_global,
+                    min_size=cfg.INPUT.MIN_SIZE_TEST,
+                    max_size=cfg.INPUT.MAX_SIZE_TEST,
+                    global_size=mega.GLOBAL.SIZE,
+                    infer_batch=cfg.INPUT.INFER_BATCH)
+                _, _, results = run_inference(
+                    model, {"params": jax.device_get(state.params)}, val_ds,
+                    val_cfg, sample_step=cfg.MODEL.DiffusionDet.SAMPLE_STEP,
+                    mem_size=mega.MEMORY_MANAGEMENT_SIZE_TEST,
+                    num_proposals=cfg.MODEL.DiffusionDet.NUM_PROPOSALS,
+                    max_videos=20, logger=logger)
+                if results:
+                    writer.write(it + 1, **{"Val/mAP": results["ap50"]})
+            except Exception as e:
+                logger.warning(f"periodic validation skipped: {e}")
         if (it + 1) % sol.CHECKPOINT_PERIOD == 0 or (it + 1) == sol.MAX_ITER:
             save_checkpoint(output_dir, it + 1,
                             jax.device_get(state.params),

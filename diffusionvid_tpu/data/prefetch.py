@@ -1,0 +1,74 @@
+"""Threaded prefetching around the host-side sample/chunk producers.
+
+The reference feeds the GPU through a torch DataLoader with
+``NUM_WORKERS=16`` C++-backed worker processes (``DATALOADER.NUM_WORKERS``,
+``data/build.py``).  Here the decode/resize work (cv2 — C++ under the GIL
+release) runs in a thread pool that keeps a bounded queue of ready batches
+ahead of the device, overlapping host IO with TPU compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional
+
+
+class PrefetchIterator:
+    """Wrap any iterator with a background-thread bounded prefetch queue."""
+
+    _END = object()
+
+    def __init__(self, iterator: Iterator, depth: int = 4):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._fill, args=(iterator,),
+                                        daemon=True)
+        self._thread.start()
+
+    def _fill(self, iterator):
+        try:
+            for item in iterator:
+                self._q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            self._err = e
+        finally:
+            self._q.put(self._END)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._END:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+def prefetch_map(fn: Callable, items, workers: int = 8, depth: int = 16):
+    """Ordered parallel map with bounded lookahead: a thread pool evaluates
+    ``fn(item)`` ahead of consumption (the NUM_WORKERS analogue for the
+    per-sample decode pipeline)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def gen():
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            pending = []
+            it = iter(items)
+            try:
+                for _ in range(depth):
+                    pending.append(pool.submit(fn, next(it)))
+            except StopIteration:
+                it = None
+            while pending:
+                out = pending.pop(0).result()
+                if it is not None:
+                    try:
+                        pending.append(pool.submit(fn, next(it)))
+                    except StopIteration:
+                        it = None
+                yield out
+
+    return gen()

@@ -100,6 +100,38 @@ def train_sample_stream(ds: VIDDataset, cfg: SampleConfig, seed: int = 0,
         epoch += 1
 
 
+class ConcatDataset:
+    """Concatenation of frame datasets (reference: torch ConcatDataset over
+    DET_train_30classes + VID_train_15frames, data/build.py).  Exposes the
+    VIDDataset surface used by sampling/grouping."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self.offsets = [0]
+        for d in self.datasets:
+            self.offsets.append(self.offsets[-1] + len(d))
+
+    def __len__(self):
+        return self.offsets[-1]
+
+    def _locate(self, idx: int):
+        for i in range(len(self.datasets)):
+            if idx < self.offsets[i + 1]:
+                return self.datasets[i], idx - self.offsets[i]
+        raise IndexError(idx)
+
+    @property
+    def annos(self):
+        out = []
+        for d in self.datasets:
+            out.extend(d.annos)
+        return out
+
+    def sample(self, idx, rng, cfg):
+        ds, local = self._locate(idx)
+        return build_train_sample(ds, local, rng, cfg)
+
+
 @dataclass
 class VideoChunks:
     """One test video, ready for the streaming engine."""

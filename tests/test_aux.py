@@ -134,3 +134,35 @@ def test_check_expected_results():
     check_expected_results({"ap50": 0.87}, [["ap50", 0.869, 0.005]], 4)
     with pytest.raises(AssertionError):
         check_expected_results({"ap50": 0.5}, [["ap50", 0.869, 0.005]], 4)
+
+
+def test_prefetch_iterator_order_and_errors():
+    from diffusionvid_tpu.data.prefetch import PrefetchIterator, prefetch_map
+    assert list(PrefetchIterator(iter(range(20)), depth=3)) == list(range(20))
+    out = list(prefetch_map(lambda x: x * x, range(10), workers=4, depth=4))
+    assert out == [x * x for x in range(10)]
+
+    def boom():
+        yield 1
+        raise ValueError("boom")
+    it = PrefetchIterator(boom())
+    assert next(it) == 1
+    with pytest.raises(ValueError):
+        next(it)
+
+
+def test_polygon_masks_and_keypoints():
+    from diffusionvid_tpu.structures.masks import PolygonMasks, Keypoints
+    tri = np.asarray([[[2, 2], [10, 2], [6, 10], [0, 0]]], np.float32)
+    m = PolygonMasks(tri, np.asarray([3], np.int32))
+    r = m.rasterize(12, 12)
+    assert r.shape == (1, 12, 12) and r.sum() > 10
+    m2 = m.resize(2.0, 1.0)
+    assert m2.vertices[0, 1, 0] == 20
+    mf = m.transpose_lr(12)
+    assert mf.vertices[0, 0, 0] == 12 - 2 - 1
+
+    kp = Keypoints(np.zeros((1, 17, 3), np.float32))
+    kp.points[0, 1] = [3, 4, 2]   # left_eye
+    kf = kp.transpose_lr(10)
+    assert kf.points[0, 2, 0] == 10 - 3 - 1   # right_eye got the flipped x

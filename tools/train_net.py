@@ -35,7 +35,11 @@ def main():
     import numpy as np
 
     from diffusionvid_tpu.config import load_config
-    from diffusionvid_tpu.data import get_dataset, SampleConfig, train_sample_stream
+    from diffusionvid_tpu.data import (
+        get_dataset, SampleConfig, build_train_sample)
+    from diffusionvid_tpu.data.sampling import ConcatDataset
+    from diffusionvid_tpu.data.samplers import (
+        aspect_ratio_group_ids, grouped_batches)
     from diffusionvid_tpu.engine import (
         TrainBatch, TrainState, make_optimizer, make_train_step)
     from diffusionvid_tpu.models.diffusion_det import DiffusionDetArch
@@ -113,15 +117,25 @@ def main():
                                  donate=True)
     state = replicate(mesh, state)
 
-    streams = [train_sample_stream(ds, sample_cfg, seed=i, shard=s, num_shards=n_dp)
-               for s in range(n_dp) for i, ds in enumerate(datasets[:1])]
+    # aspect-ratio-grouped batching: every batch of n_dp samples shares one
+    # static padding bucket (GroupedBatchSampler semantics — mixing
+    # orientations would mix array shapes)
+    train_ds = ConcatDataset(datasets) if len(datasets) > 1 else datasets[0]
+    group_ids = aspect_ratio_group_ids(train_ds)
+    batch_iter = grouped_batches(group_ids, n_dp, seed=0)
+    sample_rng = np.random.RandomState(1)
     meters = MetricLogger()
     writer = MetricsWriter(output_dir, resume_step=start_iter if args.resume else None)
     rng = jax.random.PRNGKey(3)
     t_last = time.perf_counter()
 
     for it in range(start_iter, sol.MAX_ITER):
-        samples = [next(streams[s % len(streams)]) for s in range(n_dp)]
+        idxs = next(batch_iter)
+        if isinstance(train_ds, ConcatDataset):
+            samples = [train_ds.sample(i, sample_rng, sample_cfg) for i in idxs]
+        else:
+            samples = [build_train_sample(train_ds, i, sample_rng, sample_cfg)
+                       for i in idxs]
         batch = TrainBatch(
             images=jnp.asarray(np.stack([s["images"] for s in samples])),
             gt_boxes=jnp.asarray(np.stack([s["gt_boxes"] for s in samples])),

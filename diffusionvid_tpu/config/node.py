@@ -12,11 +12,28 @@ from __future__ import annotations
 
 import copy
 import io
+import ast
 from typing import Any
 
 import yaml
 
 _FROZEN = "__cfg_frozen__"
+
+
+def _decode_value(v):
+    """yacs-style value decoding: python-literal strings (tuples, lists,
+    numbers, bools) written in YAML become real values (yacs
+    _decode_cfg_value semantics)."""
+    if isinstance(v, list):
+        return tuple(_decode_value(x) for x in v)
+    if isinstance(v, str):
+        try:
+            lit = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            return v
+        if isinstance(lit, (tuple, list, bool, int, float)):
+            return tuple(lit) if isinstance(lit, list) else lit
+    return v
 
 
 class CfgNode(dict):
@@ -82,9 +99,7 @@ class CfgNode(dict):
                     self[k] = node
                 node.merge_from_other(v)
             else:
-                if isinstance(v, list):
-                    v = tuple(v)
-                self[k] = v
+                self[k] = _decode_value(v)
 
     def merge_from_file(self, path: str) -> None:
         with open(path) as f:

@@ -30,6 +30,11 @@ DATASETS = {
                        "ILSVRC2015/ImageSets/VID_val_videos.txt"),
     "VID_val_videos_miniset": ("ILSVRC2015/Data/VID", "ILSVRC2015/Annotations/VID",
                                "ILSVRC2015/ImageSets/VID_val_videos_miniset.txt"),
+    # YouTube-Objects variants (paths_catalog.py YouTube_Objects entries)
+    "YouTube_Objects": ("YTO/Data", "YTO/Annotations",
+                        "YTO/ImageSets/yto_test.txt"),
+    "YouTube_Objects_train": ("YTO/Data", "YTO/Annotations",
+                              "YTO/ImageSets/yto_train.txt"),
 }
 
 

@@ -32,7 +32,7 @@ from .vid_dataset import VIDDataset, pad_groundtruth
 class SampleConfig:
     num_global: int = 4
     max_gt: int = 64
-    min_size: int = 600
+    min_size: int = 600            # int or tuple → random scale jitter
     max_size: int = 1000
     hflip_prob: float = 0.5
     global_size: int = 24       # init frames for the test-time memory
@@ -46,9 +46,16 @@ def build_train_sample(ds: VIDDataset, idx: int, rng: np.random.RandomState,
     padded GT arrays, whwh.  All frames share the cur frame's resize scale,
     flip decision, and padding bucket (transforms.py:61-87)."""
     anno = ds.get_groundtruth(idx)
-    scale = resize_scale(anno.height, anno.width, cfg.min_size, cfg.max_size)
+    # multi-scale training: MIN_SIZE_TRAIN may be a tuple (transforms.py
+    # Resize random choice); the padding bucket uses the LARGEST min size
+    # so every scale fits the same static shape
+    min_sizes = (cfg.min_size if isinstance(cfg.min_size, (tuple, list))
+                 else (cfg.min_size,))
+    min_size = int(min_sizes[rng.randint(len(min_sizes))])
+    scale = resize_scale(anno.height, anno.width, min_size, cfg.max_size)
     flip = bool(rng.rand() < cfg.hflip_prob)
-    bucket = frame_bucket(anno.height, anno.width, cfg.min_size, cfg.max_size)
+    bucket = frame_bucket(anno.height, anno.width, max(min_sizes),
+                          cfg.max_size)
 
     frames: List[np.ndarray] = []
     gts = []

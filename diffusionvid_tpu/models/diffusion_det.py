@@ -137,9 +137,12 @@ def prepare_diffusion_targets(rng, sched: DiffusionSchedule, gt_boxes_xyxy,
     place = jax.random.normal(r_place, (b, p, 4)) / 6.0 + 0.5
     place = place.at[..., 2:].set(jnp.clip(place[..., 2:], 1e-4))
 
-    # Static scatter: slot i takes GT i when valid (GT count ≤ G ≤ P).
-    x_start = place.at[:, :g, :].set(
-        jnp.where(gt0_valid[..., None], gt_norm, place[:, :g, :]))
+    # Static scatter: slot i takes GT i when valid.  When G > P the first
+    # P GT slots are used (the reference subsamples a random P-subset when
+    # num_gt > num_proposals, diffusion_det.py:708-711).
+    ge = min(g, p)
+    x_start = place.at[:, :ge, :].set(
+        jnp.where(gt0_valid[:, :ge, None], gt_norm[:, :ge], place[:, :ge, :]))
 
     x_start = (x_start * 2.0 - 1.0) * sched.scale
     x = q_sample(sched, x_start, t, noise)

@@ -54,6 +54,11 @@ def main():
     output_dir = cfg.OUTPUT_DIR
     logger = setup_logger(save_dir=output_dir)
     logger.info(f"config:\n{cfg.dump()}")
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(output_dir, "config.yml"), "w") as f:
+        f.write(cfg.dump())    # reference dumps merged config (train_net.py:229-232)
+    from diffusionvid_tpu.utils.collect_env import collect_env_info
+    logger.info(f"environment:\n{collect_env_info()}")
 
     model = DiffusionDetArch.from_config(cfg)
     mega = cfg.MODEL.VID.MEGA

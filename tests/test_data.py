@@ -121,3 +121,47 @@ def test_test_video_iteration(mini_vid):
     shard1 = list(iter_test_videos(ds, cfg, shard=1, num_shards=2))
     assert len(shard0) == 1 and len(shard1) == 1
     assert shard0[0].video_index != shard1[0].video_index
+
+
+def test_concat_dataset(mini_vid):
+    from diffusionvid_tpu.data import ConcatDataset, SampleConfig
+    ds1 = VIDDataset("c1", mini_vid["root"], mini_vid["img_dir"],
+                     mini_vid["anno_dir"], mini_vid["index"], is_train=True,
+                     use_cache=False)
+    ds2 = VIDDataset("c2", mini_vid["root"], mini_vid["img_dir"],
+                     mini_vid["anno_dir"], mini_vid["index"], is_train=True,
+                     use_cache=False)
+    cat = ConcatDataset([ds1, ds2])
+    assert len(cat) == len(ds1) + len(ds2)
+    assert len(cat.annos) == len(cat)
+    cfg = SampleConfig(num_global=1, max_gt=4, min_size=128, max_size=256)
+    rng = np.random.RandomState(0)
+    s = cat.sample(len(ds1) + 2, rng, cfg)   # index in the second dataset
+    assert s["images"].shape[0] == 2
+
+
+def test_multiscale_jitter(mini_vid):
+    from diffusionvid_tpu.data import SampleConfig, build_train_sample
+    ds = VIDDataset("ms", mini_vid["root"], mini_vid["img_dir"],
+                    mini_vid["anno_dir"], mini_vid["index"], is_train=True,
+                    use_cache=False)
+    cfg = SampleConfig(num_global=1, max_gt=4, min_size=(96, 128),
+                       max_size=256)
+    rng = np.random.RandomState(0)
+    shapes = set()
+    whwhs = set()
+    for _ in range(8):
+        s = build_train_sample(ds, 0, rng, cfg)
+        shapes.add(s["images"].shape[1:3])
+        whwhs.add(tuple(s["whwh"].tolist()))
+    # one static bucket, multiple true sizes
+    assert len(shapes) == 1
+    assert len(whwhs) > 1
+
+
+def test_config_tuple_decoding():
+    from diffusionvid_tpu.config import CfgNode
+    c = CfgNode()
+    c.merge_from_str('DATASETS:\n  TRAIN: ("a", "b")\n  TEST: ("c",)\n')
+    assert c.DATASETS.TRAIN == ("a", "b")
+    assert c.DATASETS.TEST == ("c",)

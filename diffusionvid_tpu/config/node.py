@@ -127,9 +127,7 @@ class CfgNode(dict):
                     value = yaml.safe_load(value)
                 except yaml.YAMLError:
                     pass
-            if isinstance(value, list):
-                value = tuple(value)
-            node[parts[-1]] = value
+            node[parts[-1]] = _decode_value(value)
 
     def dump(self) -> str:
         def to_plain(n):

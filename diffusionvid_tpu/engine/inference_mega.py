@@ -1,0 +1,122 @@
+"""Dataset-level inference for the classic/MEGA-family architectures.
+
+The DiffusionVID flagship has its own streaming runner
+(engine/inference.py); this module drives the other meta-architectures
+over a VID dataset the way the reference's method-dispatched test loop
+does (engine/inference.py:26-93 + the per-method device transfer logic):
+
+  * base  — per-frame GeneralizedRCNN;
+  * dff   — key frame every KEY_FRAME_DURATION, others flow-warped;
+  * fgfa  — sliding window of neighbor frames aggregated by flow weights;
+  * rdn   — relation attention over the local window's ref proposals;
+  * mega  — rdn + FPS global memory initialized from shuffled frames;
+  * dafa  — Sparse R-CNN with temporal memory.
+
+All return per-frame prediction dicts in original-image coordinates.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.sampling import SampleConfig, iter_test_videos
+from ..evaluation.vid_eval import evaluate_vid
+from ..structures.boxes import BoxArray
+
+
+def _to_numpy(dets: BoxArray, i: int, scale: float, score_thresh=0.05):
+    valid = np.asarray(dets.valid[i])
+    scores = np.asarray(dets.scores[i])
+    keep = valid & (scores > score_thresh)
+    return {"boxes": np.asarray(dets.boxes[i])[keep] / scale,
+            "scores": scores[keep],
+            "labels": np.asarray(dets.labels[i])[keep]}
+
+
+def run_inference_video_arch(model, variables, dataset, sample_cfg: SampleConfig,
+                             *, method: str, key_frame_duration: int = 10,
+                             fgfa_window: int = 2, logger=None,
+                             max_videos: Optional[int] = None, seed: int = 0):
+    """Evaluate a MEGA-family model over a VID dataset.
+
+    Returns (predictions, gt_list, results)."""
+    predictions, gt_list = [], []
+
+    for n_vid, video in enumerate(iter_test_videos(dataset, sample_cfg,
+                                                   seed=seed)):
+        if max_videos is not None and n_vid >= max_videos:
+            break
+        whwh = video.whwh
+        h, w = int(whwh[1]), int(whwh[0])
+        scale = float(whwh[0]) / float(video.frame_annos[0].width)
+
+        frames = []
+        for chunk, ids, n_valid in video.chunk_iter:
+            frames.extend(list(np.asarray(chunk[:n_valid])))
+        frames = np.stack(frames)
+        n = len(frames)
+
+        # mega/dafa: prime the global memory from the shuffled init frames
+        state = None
+        if method == "mega":
+            state = model.init_state()
+            for s in range(0, len(video.global_frames), 4):
+                g = jnp.asarray(video.global_frames[s: s + 4])
+                feats, valid = model.apply(
+                    variables, g, (h, w), method=type(model).memory_features)
+                state = model.apply(variables, state, feats, valid,
+                                    method=type(model).update_memory)
+        elif method == "dafa":
+            state = model.init_state()
+            g = jnp.asarray(video.global_frames[:4])
+            feats = model.apply(variables, g, jnp.asarray(whwh),
+                                method=type(model).extract_topk)
+            state = model.apply(variables, state, feats,
+                                method=type(model).update_memory)
+
+        key_feat = None
+        for f in range(n):
+            cur = jnp.asarray(frames[f: f + 1])
+            if method == "base":
+                dets = model.apply(variables, cur, (h, w), train=False)
+            elif method == "dff":
+                if f % key_frame_duration == 0:
+                    key = cur
+                    dets = model.apply(variables, key, cur, (h, w), is_key=True)
+                else:
+                    dets = model.apply(variables, key, cur, (h, w), is_key=False)
+            elif method == "fgfa":
+                lo = max(0, f - fgfa_window)
+                hi = min(n, f + fgfa_window + 1)
+                refs = jnp.asarray(np.concatenate(
+                    [frames[lo:hi], frames[f: f + 1]]))  # cur last
+                dets = model.apply(variables, cur, refs, (h, w))
+            elif method in ("rdn", "mega"):
+                lo = max(0, f - 2)
+                hi = min(n, f + 3)
+                refs = jnp.asarray(frames[lo:hi])
+                if method == "rdn":
+                    dets = model.apply(variables, cur, refs, (h, w))
+                else:
+                    dets = model.apply(variables, cur, refs, (h, w), state=state)
+            elif method == "dafa":
+                logits, boxes = model.apply(variables, cur, jnp.asarray(whwh),
+                                            state=state)
+                from .postprocess import postprocess_frame
+                dets = jax.vmap(lambda lg, bx: postprocess_frame(
+                    lg, bx, (h, w), model.num_proposals))(logits[-1], boxes[-1])
+            else:
+                raise ValueError(method)
+            predictions.append(_to_numpy(dets, 0, scale))
+
+        for anno in video.frame_annos:
+            gt_list.append({"boxes": anno.boxes, "labels": anno.labels})
+        if logger:
+            logger.info(f"[{method}] video {n_vid}: {n} frames")
+
+    results = evaluate_vid(gt_list, predictions) if gt_list else None
+    return predictions, gt_list, results

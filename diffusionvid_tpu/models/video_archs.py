@@ -42,11 +42,15 @@ class DFFArch(nn.Module):
     depth: int = 101
     num_classes: int = 31
     key_frame_duration: int = 10
+    pre_nms: int = 2000
+    post_nms: int = 300
     dtype: Any = jnp.float32
 
     def setup(self):
         self.detector = GeneralizedRCNN(depth=self.depth,
                                         num_classes=self.num_classes,
+                                        pre_nms_test=self.pre_nms,
+                                        post_nms_test=self.post_nms,
                                         dtype=self.dtype, name="detector")
         self.flownet = FlowNetS(predict_scale=True, dtype=self.dtype,
                                 name="flownet")
@@ -83,11 +87,15 @@ class FGFAArch(nn.Module):
 
     depth: int = 101
     num_classes: int = 31
+    pre_nms: int = 2000
+    post_nms: int = 300
     dtype: Any = jnp.float32
 
     def setup(self):
         self.detector = GeneralizedRCNN(depth=self.depth,
                                         num_classes=self.num_classes,
+                                        pre_nms_test=self.pre_nms,
+                                        post_nms_test=self.post_nms,
                                         dtype=self.dtype, name="detector")
         self.flownet = FlowNetS(predict_scale=False, dtype=self.dtype,
                                 name="flownet")
@@ -132,11 +140,15 @@ class RDNArch(nn.Module):
     num_classes: int = 31
     feat_dim: int = 1024
     relation_stages: int = 2
+    pre_nms: int = 2000
+    post_nms: int = 300
     dtype: Any = jnp.float32
 
     def setup(self):
         self.detector = GeneralizedRCNN(depth=self.depth,
                                         num_classes=self.num_classes,
+                                        pre_nms_test=self.pre_nms,
+                                        post_nms_test=self.post_nms,
                                         dtype=self.dtype, name="detector")
         self.reduce = Linear(self.feat_dim, dtype=self.dtype, name="reduce")
         self.relation = RelationStack(num_stages=self.relation_stages,

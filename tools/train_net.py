@@ -134,13 +134,23 @@ def main():
     rng = jax.random.PRNGKey(3)
     t_last = time.perf_counter()
 
+    reuse_steps = max(1, int(sol.BATCH_REUSE_STEPS))
     for it in range(start_iter, sol.MAX_ITER):
-        idxs = next(batch_iter)
-        if isinstance(train_ds, ConcatDataset):
-            samples = [train_ds.sample(i, sample_rng, sample_cfg) for i in idxs]
+        if it % reuse_steps == 0:
+            idxs = next(batch_iter)
+            if isinstance(train_ds, ConcatDataset):
+                samples = [train_ds.sample(i, sample_rng, sample_cfg) for i in idxs]
+            else:
+                samples = [build_train_sample(train_ds, i, sample_rng, sample_cfg)
+                           for i in idxs]
         else:
-            samples = [build_train_sample(train_ds, i, sample_rng, sample_cfg)
-                       for i in idxs]
+            # batch reuse (engine/trainer.py:107-124): swap the current
+            # frame with a random global ref and retrain on the same
+            # loaded batch — another gradient step with zero host IO
+            for smp in samples:
+                j = sample_rng.randint(1, smp["images"].shape[0])
+                for key in ("images", "gt_boxes", "gt_labels", "gt_valid"):
+                    smp[key][[0, j]] = smp[key][[j, 0]]
         batch = TrainBatch(
             images=jnp.asarray(np.stack([s["images"] for s in samples])),
             gt_boxes=jnp.asarray(np.stack([s["gt_boxes"] for s in samples])),

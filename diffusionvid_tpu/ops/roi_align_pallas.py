@@ -90,22 +90,24 @@ def _kernel(level_shapes, f3_ref, f4_ref, f5_ref, lvl_ref, y0_ref, x0_ref,
                 interp = rows[0] * w0 + rows[1] * w1         # [Wl, C]
                 t_ref[k] = jnp.pad(interp, ((0, pad_wl - wl), (0, 0)))
 
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 16, 1), 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 32, 1), 1)
             for j7 in range(p):                     # x-pass + fused 2x2 mean
-                acc = jnp.zeros((s, c), jnp.float32)
+                # both sampling columns of output column j7 come from one
+                # 8-aligned 32-wide window (sample spacing ≤ extent/s keeps
+                # the second band within the window for any ROI width)
+                ja = j7 * sr
+                jb = ja + sr - 1
+                lo_a = x0_ref[0, g, ja]
+                lo_b = x0_ref[0, g, jb]
+                lo8 = pl.multiple_of((jnp.minimum(lo_a, lo_b) // 8) * 8, 8)
+                win = t_ref[:, pl.ds(lo8, 32), :]            # [s, 32, C]
+                w32 = jnp.zeros((1, 32, 1), jnp.float32)
                 for u in range(sr):
                     j = j7 * sr + u
-                    lo = x0_ref[0, g, j]
-                    lo8 = pl.multiple_of((lo // 8) * 8, 8)
-                    d = lo - lo8
-                    win = t_ref[:, pl.ds(lo8, 16), :]        # [s, 16, C]
-                    w0 = wxv[j, 0]
-                    w1 = wxv[j, 1]
-                    w16 = (jnp.where(lane == d, w0, 0.0)
-                           + jnp.where(lane == d + 1, w1, 0.0))
-                    acc = acc + jnp.sum(
-                        win.astype(jnp.float32) * w16.astype(jnp.float32),
-                        axis=1)
+                    d = x0_ref[0, g, j] - lo8
+                    w32 = (w32 + jnp.where(lane == d, wxv[j, 0], 0.0)
+                           + jnp.where(lane == d + 1, wxv[j, 1], 0.0))
+                acc = jnp.sum(win.astype(jnp.float32) * w32, axis=1)
                 # fold the y sampling pairs with a tiny constant matmul
                 # ([p, s] pair-sum matrix — reshape+sum relayouts don't
                 # lower in Mosaic)
@@ -179,7 +181,7 @@ def multilevel_roi_align_mxu(features: Sequence, rois,
     wx = jnp.stack([wx0, wx1], axis=-1)
 
     shapes = [(f.shape[1], f.shape[2]) for f in features]
-    pad_wl = max(w for _, w in shapes) + 16
+    pad_wl = max(w for _, w in shapes) + 32
 
     grid = (b, r // roi_block)
     out = pl.pallas_call(

@@ -1,0 +1,94 @@
+"""Streaming engine edge cases: short videos, empty memory, determinism,
+topk selection correctness."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffusionvid_tpu.models.diffusion_det import DiffusionDetArch
+from diffusionvid_tpu.engine import StreamingDetector
+
+H, W, PROPS = 64, 96, 16
+
+
+@pytest.fixture(scope="module")
+def model_params():
+    model = DiffusionDetArch(depth=50, num_classes=5, num_proposals=PROPS,
+                             num_heads=1, num_heads_local=1,
+                             compute_dtype=jnp.float32)
+    noisy = jnp.tile(jnp.asarray([8.0, 8.0, 60.0, 40.0]), (2, PROPS, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "cfg": jax.random.PRNGKey(1)},
+        jnp.zeros((2, H, W, 3)), noisy, jnp.zeros((2,), jnp.int32),
+        num_global=1, train=False)
+    return model, variables
+
+
+def _det(model, variables, **kw):
+    kw.setdefault("infer_batch", 2)
+    kw.setdefault("sample_step", 1)
+    kw.setdefault("mem_size", 16)
+    kw.setdefault("mem_dis_size", 8)
+    kw.setdefault("num_proposals", PROPS)
+    kw.setdefault("detections_per_img", PROPS)
+    return StreamingDetector(model, variables, **kw)
+
+
+def test_empty_memory_is_masked(model_params):
+    """Detection works with a fresh (count=0) global memory — the attention
+    mask must cover the empty kv without NaNs."""
+    model, variables = model_params
+    det = _det(model, variables)
+    whwh = jnp.asarray([W, H, W, H], jnp.float32)
+    frames = jnp.asarray(np.random.RandomState(0).uniform(
+        0, 255, (2, H, W, 3)).astype(np.float32))
+    state = det.init_state(jax.random.PRNGKey(0))
+    assert int(state.mem.count) == 0
+    state, dets = det.process_chunk(state, frames, whwh)
+    assert np.isfinite(np.asarray(dets.scores)).all()
+    assert np.isfinite(np.asarray(dets.boxes)).all()
+
+
+def test_video_shorter_than_global_size(model_params):
+    """start_video with fewer global frames than a full chunk."""
+    model, variables = model_params
+    det = _det(model, variables)
+    whwh = jnp.asarray([W, H, W, H], jnp.float32)
+    gframes = jnp.asarray(np.random.RandomState(1).uniform(
+        0, 255, (1, H, W, 3)).astype(np.float32))   # single global frame
+    state = det.start_video(jax.random.PRNGKey(0), gframes, whwh)
+    # 1 valid frame × k1(=16 clamped) features
+    assert 0 < int(state.mem.count) <= 16
+
+
+def test_streaming_deterministic(model_params):
+    model, variables = model_params
+    whwh = jnp.asarray([W, H, W, H], jnp.float32)
+    frames = jnp.asarray(np.random.RandomState(2).uniform(
+        0, 255, (2, H, W, 3)).astype(np.float32))
+    outs = []
+    for _ in range(2):
+        det = _det(model, variables)
+        state = det.init_state(jax.random.PRNGKey(7))
+        state, dets = det.process_chunk(state, frames, whwh)
+        outs.append(np.asarray(dets.boxes))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
+
+
+def test_topk_features_match_bruteforce():
+    from diffusionvid_tpu.models.heads import DynamicHead
+    head = DynamicHead(num_classes=4, num_heads=1, num_heads_local=0,
+                       top_k=(4, 2), dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(2, 10, 4).astype(np.float32))
+    feats = jnp.asarray(rng.randn(2, 10, 8).astype(np.float32))
+    # method has no params — init with a throwaway call via apply on the fly
+    k1, k2 = DynamicHead.topk_features(head, logits, feats)
+    for b in range(2):
+        score = np.asarray(logits[b]).max(-1)
+        order = np.argsort(score)[::-1]
+        np.testing.assert_allclose(np.asarray(k1[b]),
+                                   np.asarray(feats[b])[order[:4]], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(k2[b]),
+                                   np.asarray(feats[b])[order[:2]], atol=1e-6)

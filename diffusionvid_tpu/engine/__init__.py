@@ -4,7 +4,7 @@ from .bbox_aug import hflip_tta, merge_augmented, flip_boxes_back
 from .seq_nms import seq_nms_video, seq_nms_class
 from .train import (
     TrainBatch, TrainState, make_optimizer, make_loss_fn, make_train_step,
-    warmup_multistep_schedule,
+    warmup_multistep_schedule, warmup_cosine_schedule,
 )
 
 __all__ = [
@@ -13,5 +13,5 @@ __all__ = [
     "hflip_tta", "merge_augmented", "flip_boxes_back",
     "seq_nms_video", "seq_nms_class",
     "TrainBatch", "TrainState", "make_optimizer", "make_loss_fn",
-    "make_train_step", "warmup_multistep_schedule",
+    "make_train_step", "warmup_multistep_schedule", "warmup_cosine_schedule",
 ]

@@ -69,6 +69,28 @@ def warmup_multistep_schedule(base_lr: float, steps, gamma: float = 0.1,
     return schedule
 
 
+def warmup_cosine_schedule(base_lr: float, max_iter: int,
+                           warmup_iters: int = 500,
+                           warmup_factor: float = 1.0 / 3,
+                           min_lr_ratio: float = 0.0):
+    """Cosine decay with linear warmup (the reference's timm
+    CosineLRScheduler path, solver/build.py:61-70)."""
+    import jax.numpy as _jnp
+
+    def schedule(count):
+        warm = _jnp.where(
+            count < warmup_iters,
+            warmup_factor + (1 - warmup_factor) * count / max(warmup_iters, 1),
+            1.0)
+        prog = _jnp.clip((count - warmup_iters)
+                         / max(max_iter - warmup_iters, 1), 0.0, 1.0)
+        cos = min_lr_ratio + (1 - min_lr_ratio) * 0.5 * (
+            1.0 + _jnp.cos(_jnp.pi * prog))
+        return base_lr * warm * cos
+
+    return schedule
+
+
 def _param_label(path) -> str:
     keys = [getattr(k, "key", str(k)) for k in path]
     top = keys[0] if keys else ""
@@ -90,13 +112,18 @@ def make_optimizer(params, *, base_lr: float = 1e-4, steps=(80000, 120000),
                    backbone_multiplier: float = 0.1,
                    bias_lr_factor: float = 1.0, clip_norm: float = 1.0,
                    optimizer_type: str = "adamw", momentum: float = 0.9,
-                   accumulation_steps: int = 1):
+                   accumulation_steps: int = 1,
+                   lr_scheduler_type: str = "step", max_iter: int = 130000):
     """Per-group optimizer mirroring make_optimizer (solver/build.py:9-58)."""
     labels = jax.tree_util.tree_map_with_path(lambda p, _: _param_label(p), params)
 
     def group(lr_mult, wd):
-        sched = warmup_multistep_schedule(base_lr * lr_mult, steps, gamma,
-                                          warmup_iters, warmup_factor)
+        if lr_scheduler_type == "cosine":
+            sched = warmup_cosine_schedule(base_lr * lr_mult, max_iter,
+                                           warmup_iters, warmup_factor)
+        else:
+            sched = warmup_multistep_schedule(base_lr * lr_mult, steps, gamma,
+                                              warmup_iters, warmup_factor)
         if optimizer_type == "adamw":
             tx = optax.adamw(sched, weight_decay=wd)
         else:

@@ -166,3 +166,21 @@ def test_polygon_masks_and_keypoints():
     kp.points[0, 1] = [3, 4, 2]   # left_eye
     kf = kp.transpose_lr(10)
     assert kf.points[0, 2, 0] == 10 - 3 - 1   # right_eye got the flipped x
+
+
+def test_lr_schedules():
+    import jax.numpy as jnp
+    from diffusionvid_tpu.engine import (
+        warmup_multistep_schedule, warmup_cosine_schedule)
+    step = warmup_multistep_schedule(1.0, (100, 200), gamma=0.1,
+                                     warmup_iters=10, warmup_factor=0.1)
+    assert float(step(0)) == pytest.approx(0.1)
+    assert float(step(10)) == pytest.approx(1.0)
+    assert float(step(150)) == pytest.approx(0.1)
+    assert float(step(250)) == pytest.approx(0.01)
+
+    cos = warmup_cosine_schedule(1.0, 100, warmup_iters=10, warmup_factor=0.1)
+    assert float(cos(0)) == pytest.approx(0.1)
+    assert float(cos(10)) == pytest.approx(1.0)
+    assert float(cos(100)) == pytest.approx(0.0, abs=1e-6)
+    assert 0.4 < float(cos(55)) < 0.6

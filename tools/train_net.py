@@ -101,7 +101,8 @@ def main():
         bias_lr_factor=sol.BIAS_LR_FACTOR,
         clip_norm=sol.CLIP_GRADIENTS.CLIP_VALUE,
         optimizer_type=sol.OPTIMIZER_TYPE,
-        accumulation_steps=sol.ACCUMULATION_STEPS)
+        accumulation_steps=sol.ACCUMULATION_STEPS,
+        lr_scheduler_type=sol.LR_SCHEDULER_TYPE, max_iter=sol.MAX_ITER)
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
     start_iter = 0
 

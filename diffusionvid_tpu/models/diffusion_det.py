@@ -255,18 +255,23 @@ class DiffusionDetArch(nn.Module):
 
     def refine(self, feats, bboxes, pro_features, t, memory, memory_mask):
         """Global cross-attention + conditioned stage (one DDIM model call
-        on the current batch, diffusion_det.py:551-557 + box_head.py:319-424)."""
+        on the current batch, diffusion_det.py:551-557 + box_head.py:319-424).
+        With NUM_HEADS_LOCAL=0 (plain DiffusionDet) the cached shared-stage
+        outputs ARE the detections — callers should use full_forward_test."""
         logits, boxes, pro = self.head.condition(
             feats, self.spatial_scales, bboxes, pro_features, t,
             memory, memory_mask, train=False)
         return logits[-1].astype(jnp.float32), boxes[-1].astype(jnp.float32), pro
 
     def full_forward_test(self, feats, bboxes, t, memory, memory_mask):
-        """Full 4-stage stack at test time (multi-step DDIM re-runs the
-        shared stages each step — box_head.py:286-299 with
-        sampling_timesteps>1, then the conditioned path)."""
-        _, inter_boxes, pro_features, _ = self.head.shared_stages(
+        """Full stack at test time (multi-step DDIM re-runs the shared
+        stages each step — box_head.py:286-299 with sampling_timesteps>1,
+        then the conditioned path when NUM_HEADS_LOCAL > 0)."""
+        inter_logits, inter_boxes, pro_features, _ = self.head.shared_stages(
             feats, self.spatial_scales, bboxes, t)
+        if self.num_heads_local == 0:
+            return (inter_logits[-1].astype(jnp.float32),
+                    inter_boxes[-1].astype(jnp.float32), pro_features)
         last_boxes = inter_boxes[-1]
         logits, boxes, pro = self.head.condition(
             feats, self.spatial_scales, last_boxes, pro_features, t,

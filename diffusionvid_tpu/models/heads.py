@@ -371,6 +371,11 @@ class DynamicHead(nn.Module):
         inter_logits, inter_boxes, pro_features, _ = self.shared_stages(
             features, spatial_scales, bboxes, t)
 
+        if self.num_heads_local == 0:
+            # plain DiffusionDet (vid_R_101_DiffusionDET.yaml:
+            # NUM_HEADS_LOCAL=0) — no temporal conditioning stage
+            return jnp.stack(inter_logits), jnp.stack(inter_boxes)
+
         k1_feats, _ = self.topk_features(inter_logits[-1], pro_features)
         g = num_global
         global_kv = k1_feats[-g:].reshape(-1, self.d_model) if g > 0 else k1_feats.reshape(-1, self.d_model)

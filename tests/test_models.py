@@ -151,3 +151,29 @@ def test_dynamic_head_train_forward():
     # Boxes stay valid (x2>=x1).
     p = np.asarray(pred)
     assert (p[..., 2] >= p[..., 0]).all() and (p[..., 3] >= p[..., 1]).all()
+
+
+def test_plain_diffusiondet_no_cond_stage():
+    """NUM_HEADS_LOCAL=0 (vid_R_101_DiffusionDET.yaml) — no temporal stage."""
+    from diffusionvid_tpu.models.diffusion_det import DiffusionDetArch
+    model = DiffusionDetArch(depth=50, num_classes=5, num_proposals=8,
+                             num_heads=2, num_heads_local=0,
+                             compute_dtype=jnp.float32)
+    b = 2
+    noisy = jnp.tile(jnp.asarray([8.0, 8.0, 60.0, 40.0]), (b, 8, 1))
+    t = jnp.zeros((b,), jnp.int32)
+    imgs = jnp.zeros((b, 64, 96, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "cfg": jax.random.PRNGKey(1)},
+        imgs, noisy, t, num_global=1, train=True)
+    logits, boxes = model.apply(variables, imgs, noisy, t, num_global=1,
+                                train=True, rngs={"cfg": jax.random.PRNGKey(2)})
+    assert logits.shape == (2, b, 8, 5)   # only the 2 shared stages
+
+    feats = model.apply(variables, imgs, method=DiffusionDetArch.extract_features)
+    mem = jnp.zeros((16, 256))
+    mask = jnp.zeros((16,), bool)
+    lg, bx, _ = model.apply(variables, feats, noisy, t, mem, mask,
+                            method=DiffusionDetArch.full_forward_test)
+    assert lg.shape == (b, 8, 5)
+    assert np.isfinite(np.asarray(lg)).all()

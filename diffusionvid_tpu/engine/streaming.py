@@ -116,10 +116,15 @@ class StreamingDetector:
         if self.sample_step == 1:
             # ×1: shared stages are cached; one conditioned refinement at
             # t=999 on the cached boxes/features (diffusion_det.py:300-302).
-            t_cond = jnp.full((f,), pairs[0][0], jnp.int32)
-            logits, pred_boxes, _ = self.model.apply(
-                params, feats, boxes0, pro0, t_cond, state.mem.feats, mem_mask,
-                method=DiffusionDetArch.refine)
+            # Plain DiffusionDet (NUM_HEADS_LOCAL=0) has no conditioned
+            # stage — the cached shared-stage outputs are the detections.
+            if self.model.num_heads_local == 0:
+                logits, pred_boxes = logits0, boxes0
+            else:
+                t_cond = jnp.full((f,), pairs[0][0], jnp.int32)
+                logits, pred_boxes, _ = self.model.apply(
+                    params, feats, boxes0, pro0, t_cond, state.mem.feats,
+                    mem_mask, method=DiffusionDetArch.refine)
             dets = jax.vmap(
                 lambda lg, bx: postprocess_frame(
                     lg, bx, (whwh[1], whwh[0]), self.detections_per_img,

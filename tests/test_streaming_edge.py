@@ -92,3 +92,22 @@ def test_topk_features_match_bruteforce():
                                    np.asarray(feats[b])[order[:4]], atol=1e-6)
         np.testing.assert_allclose(np.asarray(k2[b]),
                                    np.asarray(feats[b])[order[:2]], atol=1e-6)
+
+
+def test_streaming_plain_diffusiondet():
+    """NUM_HEADS_LOCAL=0 streaming: detections come from the shared stages."""
+    model = DiffusionDetArch(depth=50, num_classes=5, num_proposals=PROPS,
+                             num_heads=1, num_heads_local=0,
+                             compute_dtype=jnp.float32)
+    noisy = jnp.tile(jnp.asarray([8.0, 8.0, 60.0, 40.0]), (2, PROPS, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "cfg": jax.random.PRNGKey(1)},
+        jnp.zeros((2, H, W, 3)), noisy, jnp.zeros((2,), jnp.int32),
+        num_global=1, train=False)
+    det = _det(model, variables)
+    whwh = jnp.asarray([W, H, W, H], jnp.float32)
+    frames = jnp.asarray(np.random.RandomState(3).uniform(
+        0, 255, (2, H, W, 3)).astype(np.float32))
+    state = det.init_state(jax.random.PRNGKey(0))
+    state, dets = det.process_chunk(state, frames, whwh)
+    assert np.isfinite(np.asarray(dets.boxes)).all()

@@ -98,25 +98,67 @@ class RelationAttention(nn.Module):
 
 class RelationStack(nn.Module):
     """Stacked relation attention with residual + FC, as used by the
-    RDN/MEGA extractors (roi_box_feature_extractors.py:281-488): each stage
-    is feat = relu(fc(feat)) + attention(feat, refs)."""
+    RDN/MEGA extractors (roi_box_feature_extractors.py:281-488).
+
+    ``joint=True`` reproduces MEGA's test-time stagewise co-refinement
+    (_forward_test, roi_box_feature_extractors.py:1472-1515): the current
+    and reference proposals advance TOGETHER through each stage (the
+    attended output's ref slice feeds the next stage's keys), so later
+    stages see stage-refined reference features, not raw ones.
+    ``joint=False`` is the RDN style — only the queries advance.
+    """
 
     num_stages: int = 2
     feat_dim: int = 1024
     groups: int = 16
     emb_dim: int = 64
+    joint: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feat, ref_feat, boxes, ref_boxes, ref_valid=None):
-        pos = position_embedding(position_matrix(boxes, ref_boxes),
+    def __call__(self, feat, ref_feat, boxes, ref_boxes, ref_valid=None,
+                 extra_kv=None, extra_valid=None):
+        """feat [N,D] queries; ref_feat [M,D]; boxes/ref_boxes geometry;
+        extra_kv [K,D] optional geometry-free memory keys appended to every
+        stage's reference set (MEGA's per-stage memory)."""
+        n = feat.shape[0]
+        m = ref_feat.shape[0]
+        if ref_valid is None:
+            ref_valid = jnp.ones((m,), bool)
+
+        all_boxes = jnp.concatenate([boxes, ref_boxes], 0)
+        neutral = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0, 1.0]]),
+                           (0 if extra_kv is None else extra_kv.shape[0], 1))
+        key_boxes = jnp.concatenate([ref_boxes, neutral], 0)
+        key_valid = (ref_valid if extra_kv is None
+                     else jnp.concatenate([ref_valid, extra_valid], 0))
+
+        if self.joint:
+            pos = position_embedding(position_matrix(all_boxes, key_boxes),
+                                     self.emb_dim)
+            x = jnp.concatenate([feat, ref_feat], 0)
+            for i in range(self.num_stages):
+                x = nn.relu(Linear(self.feat_dim, dtype=self.dtype,
+                                   name=f"fc{i}")(x))
+                keys = (x[n:] if extra_kv is None
+                        else jnp.concatenate([x[n:], extra_kv], 0))
+                att = RelationAttention(self.feat_dim, self.groups,
+                                        self.emb_dim, dtype=self.dtype,
+                                        name=f"attn{i}")(x, keys, pos,
+                                                         key_valid)
+                x = x + att
+            return x[:n]
+
+        pos = position_embedding(position_matrix(boxes, key_boxes),
                                  self.emb_dim)
         x = feat
         for i in range(self.num_stages):
             x = nn.relu(Linear(self.feat_dim, dtype=self.dtype,
                                name=f"fc{i}")(x))
+            keys = (ref_feat if extra_kv is None
+                    else jnp.concatenate([ref_feat, extra_kv], 0))
             att = RelationAttention(self.feat_dim, self.groups, self.emb_dim,
                                     dtype=self.dtype, name=f"attn{i}")(
-                x, ref_feat, pos, ref_valid)
+                x, keys, pos, key_valid)
             x = x + att
         return x

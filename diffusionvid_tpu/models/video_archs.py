@@ -142,6 +142,7 @@ class RDNArch(nn.Module):
     relation_stages: int = 2
     pre_nms: int = 2000
     post_nms: int = 300
+    joint: bool = False   # True = MEGA stagewise cur+ref co-refinement
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -153,6 +154,7 @@ class RDNArch(nn.Module):
         self.reduce = Linear(self.feat_dim, dtype=self.dtype, name="reduce")
         self.relation = RelationStack(num_stages=self.relation_stages,
                                       feat_dim=self.feat_dim,
+                                      joint=self.joint,
                                       dtype=self.dtype, name="relation")
         self.predictor = FastRCNNPredictor(self.num_classes, name="predictor")
 
@@ -195,11 +197,14 @@ class MEGAArch(RDNArch):
     """MEGA = RDN + global FPS memory attention.
 
     Functional streaming: ``init_state`` → repeated ``update_memory`` with
-    global-frame proposal features → ``__call__`` attends over local refs
-    and the memory jointly (MEGAFeatureExtractor._forward_test,
-    roi_box_feature_extractors.py:1472-1515)."""
+    global-frame proposal features → ``__call__`` runs the stagewise
+    cur+ref co-refinement (joint RelationStack — the reference advances
+    reference features through the same stages,
+    roi_box_feature_extractors.py:1496-1505) with the FPS memory appended
+    to every stage's key set, then predicts (the update_lm global pass)."""
 
     memory_size: int = 750
+    joint: bool = True
 
     def init_state(self) -> MegaState:
         return MegaState(init_memory(self.memory_size, self.feat_dim))
@@ -234,16 +239,13 @@ class MEGAArch(RDNArch):
         ref_boxes = ref_props.boxes.reshape(-1, 4)
         ref_valid = ref_props.valid.reshape(-1)
 
+        extra_kv = extra_valid = None
         if state is not None:
-            mem_valid = jnp.arange(self.memory_size) < state.mem.count
-            # memory features carry no geometry: give them neutral unit boxes
-            mem_boxes = jnp.tile(jnp.asarray([0.0, 0.0, 1.0, 1.0]),
-                                 (self.memory_size, 1))
-            ref_x = jnp.concatenate([ref_x, state.mem.feats], 0)
-            ref_boxes = jnp.concatenate([ref_boxes, mem_boxes], 0)
-            ref_valid = jnp.concatenate([ref_valid, mem_valid], 0)
+            extra_kv = state.mem.feats
+            extra_valid = jnp.arange(self.memory_size) < state.mem.count
 
-        x = self.relation(cur_x, ref_x, props.boxes[0], ref_boxes, ref_valid)
+        x = self.relation(cur_x, ref_x, props.boxes[0], ref_boxes, ref_valid,
+                          extra_kv=extra_kv, extra_valid=extra_valid)
         cls_logits, box_deltas = self.predictor(x[None])
         return jax.vmap(lambda cl, bd, pb, pv: postprocess_classic(
             cl, bd, pb, pv, image_hw))(cls_logits, box_deltas,

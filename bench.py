@@ -1,80 +1,200 @@
-"""Benchmark: flagship DiffusionVID streaming inference throughput on TPU.
+"""Benchmark: DiffusionVID-TPU throughput at the reference operating points.
 
-Measures frames/sec/chip of the full streaming hot path (backbone R-101 +
-FPN + 3 shared stages + memory cross-attention + conditioned stage + NMS
-post-processing) at the reference operational point: 300 proposals,
-INFER_BATCH=8 frame chunks, ~600×1000 input padded to 608×1024
-(configs/vid_R_101_DiffusionVID.yaml:68-78; BASELINE.md).
+Emits one JSON line per metric (the driver parses JSON lines):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is the ratio to REFERENCE_FPS — the reference repo
-publishes no throughput (BASELINE.md: "the repo publishes no throughput
-numbers"), so the denominator is the commonly-cited single-GPU fp16
-throughput class for DiffusionVID R-101 ×1 (~20 fps on a desktop GPU);
-treat it as a stable comparison anchor across rounds, not a ground truth.
+  1. swinb_x1  — Swin-B backbone, DDIM ×1, INFER_BATCH=4 (vid_Swin_B config)
+  2. r101_x4   — R-101, DDIM ×4 ensemble (SAMPLE_STEP=4)
+  3. r101_train_step — full-resolution flagship train step (1 cur + 4 global)
+  4. r101_x1_e2e — IO-included streaming fps (JPEG decode + resize + pad +
+     transfer overlapped with device compute via the prefetcher)
+  5. r101_x1   — the headline: device streaming fps/chip (printed LAST)
+
+``vs_baseline`` is the ratio to the commonly-cited single-GPU fp16
+throughput class for each point (the reference repo publishes no speed
+numbers — BASELINE.md); treat it as a stable cross-round anchor, not
+ground truth.  Train-step vs_baseline anchors on ~1 s/iter single-GPU.
 """
 
 import json
+import os
+import tempfile
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-REFERENCE_FPS = 20.0
+REFERENCE_FPS = 20.0          # R-101 ×1 single-GPU fp16 class
+REFERENCE_FPS_SWIN = 10.0     # Swin-B ×1 class
+REFERENCE_FPS_X4 = 6.0        # R-101 ×4 class
+REFERENCE_TRAIN_SEC = 1.0     # s/iter class (1 GPU, batch 1+4 frames)
 H, W = 608, 1024
 INFER_BATCH = 8
-WARMUP_CHUNKS = 2
-BENCH_CHUNKS = 10
 
 
-def main():
-    from diffusionvid_tpu.models.diffusion_det import DiffusionDetArch, signal_to_boxes
-    from diffusionvid_tpu.engine import StreamingDetector
+def emit(metric, value, unit, baseline):
+    print(json.dumps({
+        "metric": metric, "value": round(value, 2), "unit": unit,
+        "vs_baseline": round(value / baseline, 3),
+    }), flush=True)
 
-    model = DiffusionDetArch(depth=101, num_classes=30, num_proposals=300,
+
+def build(depth, backbone_type, infer_batch, swin_size="B-22k"):
+    from diffusionvid_tpu.models.diffusion_det import (
+        DiffusionDetArch, signal_to_boxes)
+
+    model = DiffusionDetArch(depth=depth, num_classes=30, num_proposals=300,
                              hidden_dim=256, num_heads=3, num_heads_local=1,
+                             backbone_type=backbone_type, swin_size=swin_size,
                              compute_dtype=jnp.bfloat16)
-
     whwh = jnp.asarray([W, H, W, H], jnp.float32)
     rng = np.random.RandomState(0)
-    frames = jnp.asarray(rng.uniform(0, 255, (INFER_BATCH, H, W, 3)), jnp.float32)
-
+    frames = jnp.asarray(rng.uniform(0, 255, (infer_batch, H, W, 3)),
+                         jnp.float32)
     init_boxes = signal_to_boxes(
-        jax.random.normal(jax.random.PRNGKey(1), (INFER_BATCH, 300, 4)), whwh, 2.0)
-    t = jnp.full((INFER_BATCH,), 999, jnp.int32)
+        jax.random.normal(jax.random.PRNGKey(1), (infer_batch, 300, 4)),
+        whwh, 2.0)
+    t = jnp.full((infer_batch,), 999, jnp.int32)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "cfg": jax.random.PRNGKey(2)},
         frames, init_boxes, t, num_global=1, train=False)
+    return model, variables, whwh, frames
 
-    det = StreamingDetector(model, variables, infer_batch=INFER_BATCH,
-                            sample_step=1, mem_size=900, mem_dis_size=150,
-                            num_proposals=300)
+
+def make_detector(model, variables, infer_batch, sample_step):
+    from diffusionvid_tpu.engine import StreamingDetector
+
+    det = StreamingDetector(model, variables, infer_batch=infer_batch,
+                            sample_step=sample_step, mem_size=900,
+                            mem_dis_size=150, num_proposals=300)
     state = det.init_state(jax.random.PRNGKey(3))
-    # Fill the memory so the cross-attention sees a realistic 900-slot kv.
+    rng = np.random.RandomState(1)
     state = state._replace(mem=state.mem._replace(
         feats=jnp.asarray(rng.randn(900, 256), jnp.float32),
         count=jnp.asarray(900, jnp.int32)))
+    return det, state
 
-    # Warmup (compile).  NOTE: under the axon tunnel block_until_ready is
-    # not a reliable barrier — force a small host transfer instead.
-    for _ in range(WARMUP_CHUNKS):
+
+def stream_fps(det, state, frames, whwh, infer_batch, warmup=2, chunks=10):
+    # NOTE: under the axon tunnel block_until_ready is not a reliable
+    # barrier — force a small host transfer instead.
+    for _ in range(warmup):
         state, dets = det.process_chunk(state, frames, whwh)
+    _ = np.asarray(dets.scores)
+    start = time.perf_counter()
+    for _ in range(chunks):
+        state, dets = det.process_chunk(state, frames, whwh)
+    _ = np.asarray(dets.scores)
+    return chunks * infer_batch / (time.perf_counter() - start)
+
+
+def bench_swinb():
+    model, variables, whwh, frames = build(50, "swin", 4)
+    det, state = make_detector(model, variables, 4, 1)
+    fps = stream_fps(det, state, frames[:4], whwh, 4, chunks=8)
+    emit("diffusionvid_swinb_x1_stream_inference", fps, "frames/sec/chip",
+         REFERENCE_FPS_SWIN)
+
+
+def bench_r101(model, variables, whwh, frames, sample_step, metric, baseline,
+               chunks):
+    det, state = make_detector(model, variables, INFER_BATCH, sample_step)
+    fps = stream_fps(det, state, frames, whwh, INFER_BATCH, chunks=chunks)
+    emit(metric, fps, "frames/sec/chip", baseline)
+    return det
+
+
+def bench_train(model, variables):
+    from diffusionvid_tpu.engine import (
+        TrainBatch, TrainState, make_optimizer, make_train_step)
+
+    num_global = 4
+    b = 1 + num_global
+    rng = np.random.RandomState(2)
+    g = 32
+    batch = TrainBatch(
+        images=jnp.asarray(rng.uniform(0, 255, (1, b, H, W, 3)), jnp.float32),
+        gt_boxes=jnp.tile(jnp.asarray([40.0, 40.0, 300.0, 260.0]),
+                          (1, b, g, 1)),
+        gt_labels=jnp.full((1, b, g), 3, jnp.int32),
+        gt_valid=jnp.zeros((1, b, g), bool).at[..., :5].set(True),
+        whwh=jnp.tile(jnp.asarray([W, H, W, H], jnp.float32), (1, 1)))
+    params = variables["params"]
+    tx = make_optimizer(params, base_lr=1e-4, warmup_iters=0)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(model, tx, num_global), donate_argnums=0)
+    r = jax.random.PRNGKey(5)
+    state, metrics = step(state, batch, r)        # compile
+    _ = float(metrics["total_loss"])
+    start = time.perf_counter()
+    n = 5
+    for _ in range(n):
+        state, metrics = step(state, batch, r)
+    _ = float(metrics["total_loss"])
+    sec = (time.perf_counter() - start) / n
+    emit("diffusionvid_r101_train_step", 1000.0 * sec, "ms/step",
+         1000.0 * REFERENCE_TRAIN_SEC)
+
+
+def bench_e2e(det, whwh):
+    """IO-included: decode real JPEGs + resize + pad on the host, prefetch
+    ahead of the device (engine/inference.py pipeline shape)."""
+    import cv2
+
+    from diffusionvid_tpu.data.prefetch import PrefetchIterator
+
+    tmp = tempfile.mkdtemp(prefix="bench_frames_")
+    rng = np.random.RandomState(3)
+    n_frames = INFER_BATCH * 8
+    img = (rng.uniform(0, 255, (720, 1213, 3))).astype(np.uint8)
+    for i in range(n_frames):
+        cv2.imwrite(os.path.join(tmp, f"{i:06d}.JPEG"), img)
+
+    from diffusionvid_tpu.data.transforms import (
+        frame_bucket, resize_scale, transform_frame)
+    scale = resize_scale(720, 1213, 600, 1000)
+    bucket = frame_bucket(720, 1213, 600, 1000)
+
+    def chunks():
+        for s in range(0, n_frames, INFER_BATCH):
+            imgs = []
+            for i in range(s, s + INFER_BATCH):
+                raw = cv2.imread(os.path.join(tmp, f"{i:06d}.JPEG"))[:, :, ::-1]
+                imgs.append(transform_frame(raw.astype(np.float32), scale,
+                                            False, bucket))
+            yield np.stack(imgs)
+
+    state = det.init_state(jax.random.PRNGKey(7))
+    state = state._replace(mem=state.mem._replace(
+        feats=jnp.asarray(rng.randn(900, 256), jnp.float32),
+        count=jnp.asarray(900, jnp.int32)))
+    # warmup on one chunk
+    first = next(chunks())
+    state, dets = det.process_chunk(state, jnp.asarray(first), whwh)
     _ = np.asarray(dets.scores)
 
     start = time.perf_counter()
-    for _ in range(BENCH_CHUNKS):
-        state, dets = det.process_chunk(state, frames, whwh)
+    for frames in PrefetchIterator(chunks(), depth=2):
+        state, dets = det.process_chunk(state, jnp.asarray(frames), whwh)
     _ = np.asarray(dets.scores)
-    elapsed = time.perf_counter() - start
+    fps = n_frames / (time.perf_counter() - start)
+    emit("diffusionvid_r101_x1_e2e_with_io", fps, "frames/sec/chip",
+         REFERENCE_FPS)
 
-    fps = BENCH_CHUNKS * INFER_BATCH / elapsed
-    print(json.dumps({
-        "metric": "diffusionvid_r101_x1_stream_inference",
-        "value": round(fps, 2),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / REFERENCE_FPS, 3),
-    }))
+
+def main():
+    bench_swinb()
+    model, variables, whwh, frames = build(101, "resnet", INFER_BATCH)
+    bench_r101(model, variables, whwh, frames, 4,
+               "diffusionvid_r101_x4_stream_inference", REFERENCE_FPS_X4,
+               chunks=4)
+    bench_train(model, variables)
+    det = make_detector(model, variables, INFER_BATCH, 1)[0]
+    bench_e2e(det, whwh)
+    # headline LAST (the driver records the tail JSON line)
+    bench_r101(model, variables, whwh, frames, 1,
+               "diffusionvid_r101_x1_stream_inference", REFERENCE_FPS,
+               chunks=10)
 
 
 if __name__ == "__main__":

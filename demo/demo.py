@@ -89,7 +89,13 @@ def main():
 
     logger = setup_logger()
     cfg = load_config(args.config_file, args.opts)
-    model = DiffusionDetArch.from_config(cfg)
+    from diffusionvid_tpu.models.detectors import build_detection_model
+    model = build_detection_model(cfg)
+    if not isinstance(model, DiffusionDetArch):
+        raise SystemExit(
+            "demo/demo.py drives the streaming DiffusionVID path; for the "
+            "classic/MEGA-family methods run tools/test_net.py on a frame "
+            "folder dataset instead")
     f = cfg.INPUT.INFER_BATCH
 
     frames_bgr, names = read_frames(args.visualize_path)

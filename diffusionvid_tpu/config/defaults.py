@@ -42,6 +42,7 @@ def get_default_cfg() -> CfgNode:
     _C.MODEL.RESNETS.OUT_FEATURES = ("res2", "res3", "res4", "res5")
     _C.MODEL.RESNETS.STEM_OUT_CHANNELS = 64
     _C.MODEL.RESNETS.RES2_OUT_CHANNELS = 256
+    _C.MODEL.RESNETS.BACKBONE_OUT_CHANNELS = 1024  # C4 feature width
 
     _C.MODEL.FPN = CfgNode()
     _C.MODEL.FPN.IN_FEATURES = ("res3", "res4", "res5")
@@ -54,14 +55,45 @@ def get_default_cfg() -> CfgNode:
     _C.MODEL.SWIN.USE_CHECKPOINT = False
     _C.MODEL.SWIN.OUT_FEATURES = (0, 1, 2, 3)
 
+    # RetinaNet (reference defaults.py:307-362; unused by VID configs,
+    # shipped for component parity)
+    _C.MODEL.RETINANET_ON = False
+    _C.MODEL.RETINANET = CfgNode()
+    _C.MODEL.RETINANET.NUM_CLASSES = 81
+    _C.MODEL.RETINANET.ANCHOR_SIZES = (32, 64, 128, 256, 512)
+    _C.MODEL.RETINANET.ASPECT_RATIOS = (0.5, 1.0, 2.0)
+    _C.MODEL.RETINANET.ANCHOR_STRIDES = (8, 16, 32, 64, 128)
+    _C.MODEL.RETINANET.OCTAVE = 2.0
+    _C.MODEL.RETINANET.SCALES_PER_OCTAVE = 3
+    _C.MODEL.RETINANET.NUM_CONVS = 4
+    _C.MODEL.RETINANET.FG_IOU_THRESHOLD = 0.5
+    _C.MODEL.RETINANET.BG_IOU_THRESHOLD = 0.4
+    _C.MODEL.RETINANET.LOSS_ALPHA = 0.25
+    _C.MODEL.RETINANET.LOSS_GAMMA = 2.0
+    _C.MODEL.RETINANET.PRIOR_PROB = 0.01
+    _C.MODEL.RETINANET.PRE_NMS_TOP_N = 1000
+    _C.MODEL.RETINANET.INFERENCE_TH = 0.05
+    _C.MODEL.RETINANET.NMS_TH = 0.4
+    _C.MODEL.RETINANET.BBOX_REG_WEIGHT = 4.0
+    _C.MODEL.RETINANET.BBOX_REG_BETA = 0.11
+
     _C.MODEL.ROI_HEADS = CfgNode()
     _C.MODEL.ROI_HEADS.IN_FEATURES = ("p3", "p4", "p5")
+    # classic two-stage head sampling/post-processing (reference
+    # defaults.py MODEL.ROI_HEADS branch, set by BASE_RCNN_*gpu.yaml)
+    _C.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 128
+    _C.MODEL.ROI_HEADS.POSITIVE_FRACTION = 0.25
+    _C.MODEL.ROI_HEADS.SCORE_THRESH = 0.001
+    _C.MODEL.ROI_HEADS.NMS = 0.5
+    _C.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = 300
 
     _C.MODEL.ROI_BOX_HEAD = CfgNode()
     _C.MODEL.ROI_BOX_HEAD.POOLER_TYPE = "ROIAlignV2"
     _C.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
     _C.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 2
     _C.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 31   # 30 VID classes + background
+    _C.MODEL.ROI_BOX_HEAD.FEATURE_EXTRACTOR = "ResNetConv52MLPFeatureExtractor"
+    _C.MODEL.ROI_BOX_HEAD.PREDICTOR = "FPNPredictor"
 
     # DiffusionDet head (reference: add_diffusiondet_config,
     # diffusion_det.py:74-186; flagship overrides vid_R_101_DiffusionVID.yaml)

@@ -102,10 +102,20 @@ class CfgNode(dict):
                 self[k] = _decode_value(v)
 
     def merge_from_file(self, path: str) -> None:
+        """Merge a YAML file.  A top-level ``BASE: <relative path>`` key pulls
+        in a base config first (the reference instead auto-merges
+        ``BASE_RCNN_{n}gpu.yaml`` by GPU count, ``tools/train_net.py:202-207``;
+        an explicit chain is deterministic and works headless)."""
+        import os
+
         with open(path) as f:
             loaded = yaml.safe_load(f)
-        if loaded:
-            self.merge_from_other(loaded)
+        if not loaded:
+            return
+        base = loaded.pop("BASE", None)
+        if base:
+            self.merge_from_file(os.path.join(os.path.dirname(path), base))
+        self.merge_from_other(loaded)
 
     def merge_from_str(self, text: str) -> None:
         loaded = yaml.safe_load(io.StringIO(text))

@@ -24,7 +24,8 @@ from typing import Iterator, List, Optional
 
 import numpy as np
 
-from .transforms import frame_bucket, resize_scale, transform_frame
+from .transforms import (
+    color_jitter, frame_bucket, resize_scale, transform_frame)
 from .vid_dataset import VIDDataset, pad_groundtruth
 
 
@@ -38,6 +39,8 @@ class SampleConfig:
     global_size: int = 24       # init frames for the test-time memory
     infer_batch: int = 8
     shuffle_global: bool = True
+    color_jitter: bool = False  # INPUT.TRANSFORM → per-frame ColorJitter
+                                # (reference transforms/build.py:52)
 
 
 def build_train_sample(ds: VIDDataset, idx: int, rng: np.random.RandomState,
@@ -60,8 +63,13 @@ def build_train_sample(ds: VIDDataset, idx: int, rng: np.random.RandomState,
     frames: List[np.ndarray] = []
     gts = []
 
+    def jitter(im):
+        if not cfg.color_jitter:
+            return im
+        return color_jitter(np.asarray(im, np.uint8), rng).astype(im.dtype)
+
     img = ds.load_image(ds.image_path(idx))
-    frames.append(transform_frame(img, scale, flip, bucket))
+    frames.append(transform_frame(jitter(img), scale, flip, bucket))
     gts.append(pad_groundtruth(anno, cfg.max_gt, scale, flip))
 
     if ds.is_video:
@@ -71,7 +79,7 @@ def build_train_sample(ds: VIDDataset, idx: int, rng: np.random.RandomState,
         for rid in ref_ids:
             ranno = ds.get_groundtruth_for_frame(idx, int(rid))
             rimg = ds.load_image(ds.frame_path(idx, int(rid)))
-            frames.append(transform_frame(rimg, scale, flip, bucket))
+            frames.append(transform_frame(jitter(rimg), scale, flip, bucket))
             gts.append(pad_groundtruth(ranno, cfg.max_gt, scale, flip))
     else:
         # DET stills: replicate cur as the global refs (vid_mega.py:96-103
@@ -90,6 +98,133 @@ def build_train_sample(ds: VIDDataset, idx: int, rng: np.random.RandomState,
         "images": np.stack(frames),
         "gt_boxes": boxes, "gt_labels": labels, "gt_valid": valid,
         "whwh": whwh, "bucket": tuple(frames[0].shape[:2]),
+    }
+
+
+@dataclass
+class MethodSampleSpec:
+    """Per-method train ref-frame layout (the reference encodes this in the
+    per-method dataset wrappers: vid_rdn.py:20-60, vid_fgfa.py:18-33,
+    vid_dff.py:18-45, vid_mega.py:40-115).
+
+    The resulting image stack is ordered [cur, locals…, mems…, globals…]
+    so one static ``TrainBatch`` serves every method; the counts here tell
+    the train step where each group lives."""
+
+    method: str = "base"          # base|dff|fgfa|rdn|mega|dafa
+    num_local: int = 0            # refs drawn from [min_offset, max_offset]
+    min_offset: int = 0
+    max_offset: int = 0
+    num_mem: int = 0              # refs centered ALL_FRAME_INTERVAL back
+    all_frame_interval: int = 25
+    num_global: int = 0           # uniform over the whole video
+
+    @staticmethod
+    def from_config(cfg) -> "MethodSampleSpec":
+        m = cfg.MODEL.VID.METHOD
+        v = cfg.MODEL.VID
+        if m == "base":
+            return MethodSampleSpec("base")
+        if m == "dff":
+            return MethodSampleSpec("dff", num_local=1,
+                                    min_offset=v.DFF.MIN_OFFSET,
+                                    max_offset=v.DFF.MAX_OFFSET)
+        if m == "fgfa":
+            return MethodSampleSpec("fgfa", num_local=v.FGFA.REF_NUM,
+                                    min_offset=v.FGFA.MIN_OFFSET,
+                                    max_offset=v.FGFA.MAX_OFFSET)
+        if m == "rdn":
+            return MethodSampleSpec("rdn", num_local=v.RDN.REF_NUM,
+                                    min_offset=v.RDN.MIN_OFFSET,
+                                    max_offset=v.RDN.MAX_OFFSET)
+        if m in ("mega", "dafa"):
+            g = v.MEGA
+            return MethodSampleSpec(
+                m,
+                num_local=g.REF_NUM_LOCAL if g.LOCAL.ENABLE else 0,
+                min_offset=g.MIN_OFFSET, max_offset=g.MAX_OFFSET,
+                num_mem=g.REF_NUM_MEM if g.MEMORY.ENABLE else 0,
+                all_frame_interval=g.ALL_FRAME_INTERVAL,
+                num_global=g.REF_NUM_GLOBAL if g.GLOBAL.ENABLE else 0)
+        raise ValueError(f"no train sampling for method {m}")
+
+
+def build_train_sample_method(ds: VIDDataset, idx: int,
+                              rng: np.random.RandomState, cfg: SampleConfig,
+                              spec: MethodSampleSpec):
+    """Per-method train sample: [cur, locals…, mems…, globals…] images with
+    GT for every frame (only cur's GT feeds the loss for the classic
+    methods, matching the reference wrappers).  DET stills replicate cur."""
+    anno = ds.get_groundtruth(idx)
+    min_sizes = (cfg.min_size if isinstance(cfg.min_size, (tuple, list))
+                 else (cfg.min_size,))
+    min_size = int(min_sizes[rng.randint(len(min_sizes))])
+    scale = resize_scale(anno.height, anno.width, min_size, cfg.max_size)
+    flip = bool(rng.rand() < cfg.hflip_prob)
+    bucket = frame_bucket(anno.height, anno.width, max(min_sizes),
+                          cfg.max_size)
+
+    frames: List[np.ndarray] = []
+    gts = []
+
+    def jitter(im):
+        if not cfg.color_jitter:
+            return im
+        return color_jitter(np.asarray(im, np.uint8), rng).astype(im.dtype)
+
+    def add(frame_id: Optional[int]):
+        if frame_id is None or not ds.is_video:
+            frames.append(frames[0])
+            gts.append(gts[0])
+            return
+        a = ds.get_groundtruth_for_frame(idx, int(frame_id))
+        img = ds.load_image(ds.frame_path(idx, int(frame_id)))
+        frames.append(transform_frame(jitter(img), scale, flip, bucket))
+        gts.append(pad_groundtruth(a, cfg.max_gt, scale, flip))
+
+    img = ds.load_image(ds.image_path(idx))
+    frames.append(transform_frame(jitter(img), scale, flip, bucket))
+    gts.append(pad_groundtruth(anno, cfg.max_gt, scale, flip))
+
+    if ds.is_video:
+        seg_len = ds.frame_seg_len[idx]
+        fid = ds.frame_seg_id[idx]
+        span = spec.max_offset - spec.min_offset + 1
+        # local refs: offsets sampled without replacement (vid_rdn.py:25-27)
+        if spec.num_local:
+            offs = rng.choice(span, min(spec.num_local, span),
+                              replace=span < spec.num_local) + spec.min_offset
+            offs = list(offs) + [0] * (spec.num_local - len(offs))
+            for o in offs:
+                add(min(max(fid + int(o), 0), seg_len - 1))
+        # memory refs: same offsets around fid - ALL_FRAME_INTERVAL
+        # (vid_mega.py:62-73)
+        if spec.num_mem:
+            center = max(fid - spec.all_frame_interval, 0)
+            offs = rng.choice(span, min(spec.num_mem, span),
+                              replace=span < spec.num_mem) + spec.min_offset
+            offs = list(offs) + [0] * (spec.num_mem - len(offs))
+            for o in offs:
+                add(min(max(center + int(o), 0), seg_len - 1))
+        # global refs: uniform over the video (vid_mega.py:76-86)
+        if spec.num_global:
+            ids = rng.choice(seg_len, spec.num_global,
+                             replace=seg_len < spec.num_global)
+            for g in ids:
+                add(int(g))
+    else:
+        for _ in range(spec.num_local + spec.num_mem + spec.num_global):
+            add(None)
+
+    rh = int(round(anno.height * scale))
+    rw = int(round(anno.width * scale))
+    return {
+        "images": np.stack(frames),
+        "gt_boxes": np.stack([g[0] for g in gts]),
+        "gt_labels": np.stack([g[1] for g in gts]),
+        "gt_valid": np.stack([g[2] for g in gts]),
+        "whwh": np.asarray([rw, rh, rw, rh], np.float32),
+        "bucket": tuple(frames[0].shape[:2]),
     }
 
 

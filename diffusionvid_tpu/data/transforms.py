@@ -67,3 +67,102 @@ def frame_bucket(height: int, width: int, min_size: int = 600,
     """Orientation-dependent static bucket for this image."""
     s, l = bucket_shape(min_size, max_size, divisor)
     return (s, l) if width >= height else (l, s)
+
+
+# ---------------------------------------------------------------------------
+# Photometric / geometric train augmentation
+# (reference transforms.py:101-330; the shipped pipeline activates
+# ColorJitter when INPUT.TRANSFORM=True — build.py:52 — while RandomPad /
+# RandomCrop ship implemented-but-disabled, build.py:56-57.)
+# ---------------------------------------------------------------------------
+
+def color_jitter(img: np.ndarray, rng: np.random.RandomState,
+                 brightness: float = 0.166, contrast: float = 0.5,
+                 saturation: float = 0.5, hue: float = 0.05) -> np.ndarray:
+    """ColorJitter (transforms.py:101-121): independent per-frame factors,
+    torchvision semantics — brightness/contrast/saturation multiply toward
+    black/mean/gray, hue rotates in HSV.  uint8 in, uint8 out."""
+    import cv2
+
+    out = img.astype(np.float32)
+    fb = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
+    out = out * fb
+    fc = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
+    mean = out.mean()
+    out = mean + (out - mean) * fc
+    fs = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
+    gray = out @ np.asarray([0.299, 0.587, 0.114], np.float32)
+    out = gray[..., None] + (out - gray[..., None]) * fs
+    out = np.clip(out, 0, 255).astype(np.uint8)
+    if hue > 0:
+        fh = rng.uniform(-hue, hue)            # fraction of a full turn
+        hsv = cv2.cvtColor(out, cv2.COLOR_RGB2HSV)
+        h = hsv[..., 0].astype(np.int16)       # OpenCV hue ∈ [0, 180)
+        hsv[..., 0] = ((h + int(round(fh * 180))) % 180).astype(np.uint8)
+        out = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+    return out
+
+
+def random_pad(img: np.ndarray, boxes: np.ndarray,
+               rng: np.random.RandomState, prob: float = 0.5,
+               max_size: float = 1.5):
+    """RandomPad (transforms.py:123-155): zero-pad an equal border on all
+    sides (up to max_size× each dimension); boxes shift by the padding."""
+    if rng.rand() >= prob:
+        return img, boxes
+    h, w = img.shape[:2]
+    ratio = rng.uniform(0.0, max_size)
+    padding = int(min(rng.uniform(0, ratio * w), rng.uniform(0, ratio * h)))
+    if padding <= 0:
+        return img, boxes
+    out = np.zeros((h + 2 * padding, w + 2 * padding, img.shape[2]),
+                   img.dtype)
+    out[padding: padding + h, padding: padding + w] = img
+    return out, boxes + padding
+
+
+def random_crop(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
+                rng: np.random.RandomState, prob: float = 0.5,
+                min_crop_size: float = 0.3, max_crop_size: float = 0.9,
+                max_tries: int = 50):
+    """RandomCrop (transforms.py:158-244): pick a window that covers a
+    randomly chosen GT box's center with IoU above a sampled floor; GTs
+    whose centers fall outside the window are dropped.  Returns
+    (img, boxes, labels) — unchanged if no valid window is found."""
+    if rng.rand() >= prob or len(boxes) == 0:
+        return img, boxes, labels
+    h, w = img.shape[:2]
+    tb = boxes[rng.randint(len(boxes))]
+    iou_min = float(rng.choice([0.1, 0.3, 0.5, 0.7, 0.9]))
+    mid = (0.5 * (tb[0] + tb[2]), 0.5 * (tb[1] + tb[3]))
+
+    def iou(a, b):
+        ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]) + 1)
+        iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]) + 1)
+        inter = ix * iy
+        ar = lambda z: (z[2] - z[0] + 1) * (z[3] - z[1] + 1)
+        return inter / max(ar(a) + ar(b) - inter, 1e-9)
+
+    for _ in range(max_tries):
+        ch = int(rng.uniform(min_crop_size * h, max_crop_size * h))
+        cw = int(rng.uniform(min_crop_size * w, max_crop_size * w))
+        if ch < 2 or cw < 2 or not (0.5 <= cw / ch <= 2.0):
+            continue
+        x0 = rng.randint(max(int(mid[0]) - cw + 1, 0),
+                         min(int(mid[0]), w - cw) + 1)
+        y0 = rng.randint(max(int(mid[1]) - ch + 1, 0),
+                         min(int(mid[1]), h - ch) + 1)
+        win = (x0, y0, x0 + cw - 1, y0 + ch - 1)
+        if max(iou(b, win) for b in boxes) < iou_min:
+            continue
+        centers = 0.5 * (boxes[:, :2] + boxes[:, 2:])
+        keep = ((centers[:, 0] >= win[0]) & (centers[:, 0] <= win[2])
+                & (centers[:, 1] >= win[1]) & (centers[:, 1] <= win[3]))
+        if not keep.any():
+            continue
+        nb = boxes[keep].copy()
+        nb[:, [0, 2]] = np.clip(nb[:, [0, 2]] - x0, 0, cw - 1)
+        nb[:, [1, 3]] = np.clip(nb[:, [1, 3]] - y0, 0, ch - 1)
+        return (np.ascontiguousarray(img[y0: y0 + ch, x0: x0 + cw]),
+                nb, labels[keep])
+    return img, boxes, labels

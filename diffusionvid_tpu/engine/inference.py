@@ -20,6 +20,7 @@ from typing import Optional
 import jax
 import numpy as np
 
+from ..data.prefetch import PrefetchIterator
 from ..data.sampling import SampleConfig, iter_test_videos
 from ..data.vid_dataset import VIDDataset
 from ..evaluation.vid_eval import evaluate_vid
@@ -39,29 +40,54 @@ def _detections_to_numpy(dets, i, scale, score_thresh: float = 0.0):
     }
 
 
+def save_predictions(output_dir, predictions, tagged, shard, num_shards):
+    """Single shard: flat ``predictions.pkl`` (the reference's
+    predictions.pth, inference.py:165-168).  Sharded: a tagged
+    ``predictions_shard{K}of{N}.pkl`` that tools/test_net.py merges back
+    into global frame order."""
+    if num_shards > 1:
+        path = os.path.join(output_dir,
+                            f"predictions_shard{shard}of{num_shards}.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(tagged, f)
+    else:
+        with open(os.path.join(output_dir, "predictions.pkl"), "wb") as f:
+            pickle.dump(predictions, f)
+
+
 def run_inference(model, params, dataset: VIDDataset, sample_cfg: SampleConfig,
                   *, sample_step: int = 1, mem_size: int = 900,
                   num_proposals: int = 300, output_dir: Optional[str] = None,
                   use_seq_nms: bool = False, motion_ious=None,
                   motion_specific: bool = False, seed: int = 0,
                   shard: int = 0, num_shards: int = 1, logger=None,
-                  max_videos: Optional[int] = None):
+                  max_videos: Optional[int] = None,
+                  stop_update_after_init: bool = True):
     """Run the flagship streaming detector over a test dataset.
 
     Returns (predictions, gt_list, results_dict_or_None).
     """
     det = StreamingDetector(model, params, infer_batch=sample_cfg.infer_batch,
                             sample_step=sample_step, mem_size=mem_size,
-                            num_proposals=num_proposals)
+                            num_proposals=num_proposals,
+                            stop_update_after_init=stop_update_after_init)
+    if motion_ious is not None and (num_shards > 1 or max_videos is not None):
+        motion_ious = None   # .mat rows align to the FULL dataset only;
+        # sharded runs get motion buckets from the merged eval in test_net
     predictions = []
+    tagged = []          # [(video_index, [frame dicts…]), …] for shard merge
     gt_list = []
     rng = jax.random.PRNGKey(seed)
     n_frames = 0
     t0 = time.perf_counter()
 
-    for n_vid, video in enumerate(iter_test_videos(dataset, sample_cfg,
-                                                   seed=seed, shard=shard,
-                                                   num_shards=num_shards)):
+    # prefetch: next video's init frames decode while this one streams, and
+    # each video's chunks decode a step ahead of the device (the reference
+    # hides host IO behind 16 dataloader workers, DATALOADER.NUM_WORKERS)
+    videos = PrefetchIterator(
+        iter_test_videos(dataset, sample_cfg, seed=seed, shard=shard,
+                         num_shards=num_shards), depth=1)
+    for n_vid, video in enumerate(videos):
         if max_videos is not None and n_vid >= max_videos:
             break
         rng, r_video = jax.random.split(rng)
@@ -71,8 +97,9 @@ def run_inference(model, params, dataset: VIDDataset, sample_cfg: SampleConfig,
 
         state = det.start_video(r_video, video.global_frames, whwh)
         video_preds = []
-        for frames, ids, n_valid in video.chunk_iter:
-            state, dets = det.process_chunk(state, frames, whwh)
+        for frames, ids, n_valid in PrefetchIterator(video.chunk_iter,
+                                                     depth=2):
+            state, dets = det.process_chunk(state, frames, whwh, n_valid)
             for i in range(n_valid):
                 video_preds.append(_detections_to_numpy(dets, i, scale))
             n_frames += n_valid
@@ -81,6 +108,7 @@ def run_inference(model, params, dataset: VIDDataset, sample_cfg: SampleConfig,
             video_preds = seq_nms_video(video_preds)
 
         predictions.extend(video_preds)
+        tagged.append((video.video_index, video_preds))
         for anno in video.frame_annos:
             gt_list.append({"boxes": anno.boxes, "labels": anno.labels})
         if logger:
@@ -90,8 +118,7 @@ def run_inference(model, params, dataset: VIDDataset, sample_cfg: SampleConfig,
 
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
-        with open(os.path.join(output_dir, "predictions.pkl"), "wb") as f:
-            pickle.dump(predictions, f)
+        save_predictions(output_dir, predictions, tagged, shard, num_shards)
 
     results = None
     if gt_list:

@@ -40,14 +40,22 @@ def _to_numpy(dets: BoxArray, i: int, scale: float, score_thresh=0.05):
 def run_inference_video_arch(model, variables, dataset, sample_cfg: SampleConfig,
                              *, method: str, key_frame_duration: int = 10,
                              fgfa_window: int = 2, logger=None,
-                             max_videos: Optional[int] = None, seed: int = 0):
-    """Evaluate a MEGA-family model over a VID dataset.
+                             max_videos: Optional[int] = None, seed: int = 0,
+                             output_dir: Optional[str] = None,
+                             use_seq_nms: bool = False, motion_ious=None,
+                             motion_specific: bool = False,
+                             shard: int = 0, num_shards: int = 1):
+    """Evaluate a classic/MEGA-family model over a VID dataset.
 
     Returns (predictions, gt_list, results)."""
+    if motion_ious is not None and (num_shards > 1 or max_videos is not None):
+        motion_ious = None   # rows align to the full dataset only
     predictions, gt_list = [], []
+    tagged = []
 
     for n_vid, video in enumerate(iter_test_videos(dataset, sample_cfg,
-                                                   seed=seed)):
+                                                   seed=seed, shard=shard,
+                                                   num_shards=num_shards)):
         if max_videos is not None and n_vid >= max_videos:
             break
         whwh = video.whwh
@@ -78,6 +86,7 @@ def run_inference_video_arch(model, variables, dataset, sample_cfg: SampleConfig
             state = model.apply(variables, state, feats,
                                 method=type(model).update_memory)
 
+        video_preds = []
         key_feat = None
         for f in range(n):
             cur = jnp.asarray(frames[f: f + 1])
@@ -111,12 +120,25 @@ def run_inference_video_arch(model, variables, dataset, sample_cfg: SampleConfig
                     lg, bx, (h, w), model.num_proposals))(logits[-1], boxes[-1])
             else:
                 raise ValueError(method)
-            predictions.append(_to_numpy(dets, 0, scale))
+            video_preds.append(_to_numpy(dets, 0, scale))
 
+        if use_seq_nms:
+            from .seq_nms import seq_nms_video
+            video_preds = seq_nms_video(video_preds)
+        predictions.extend(video_preds)
+        tagged.append((video.video_index, video_preds))
         for anno in video.frame_annos:
             gt_list.append({"boxes": anno.boxes, "labels": anno.labels})
         if logger:
             logger.info(f"[{method}] video {n_vid}: {n} frames")
 
-    results = evaluate_vid(gt_list, predictions) if gt_list else None
+    if output_dir:
+        import os
+        from .inference import save_predictions
+        os.makedirs(output_dir, exist_ok=True)
+        save_predictions(output_dir, predictions, tagged, shard, num_shards)
+
+    results = (evaluate_vid(gt_list, predictions, motion_ious=motion_ious,
+                            motion_specific=motion_specific)
+               if gt_list else None)
     return predictions, gt_list, results

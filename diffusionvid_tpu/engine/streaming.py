@@ -60,7 +60,8 @@ class StreamingDetector:
                  mem_size: int = 900, mem_dis_size: int = 150,
                  num_proposals: int = 300, score_renewal_thresh: float = 0.5,
                  nms_thresh: float = 0.5, use_nms: bool = True,
-                 detections_per_img: int = 300):
+                 detections_per_img: int = 300,
+                 stop_update_after_init: bool = True):
         self.model = model
         self.params = params
         self.infer_batch = infer_batch
@@ -73,9 +74,14 @@ class StreamingDetector:
         self.nms_thresh = nms_thresh
         self.use_nms = use_nms
         self.detections_per_img = detections_per_img
+        # STOP_UPDATE_AFTER_INIT_TEST (vid_mega.py:13, flagship True):
+        # False = keep folding each chunk's top-k features into the memory
+        # (the reference's 0/1-per-frame continuous update, vid_mega.py:212-221)
+        self.stop_update_after_init = stop_update_after_init
 
         self._extract = jax.jit(self._extract_chunk)
         self._detect = jax.jit(self._detect_chunk)
+        self._fold = jax.jit(self._fold_topk)
 
     # ---- state ----
     def init_state(self, rng) -> StreamState:
@@ -109,6 +115,12 @@ class StreamingDetector:
             params, frames, whwh, r_extract)
 
         mem_mask = jnp.arange(self.mem_size) < state.mem.count
+        # RES_STAGE≥2: the 150-slot distinct memory keys the second global
+        # attention stage (box_head.py:367-385 global_kv_[1])
+        use_dis = getattr(self.model, "res_stage", 1) >= 2
+        mem_dis = state.mem_dis.feats if use_dis else None
+        mem_dis_mask = (jnp.arange(self.mem_dis_size) < state.mem_dis.count
+                        if use_dis else None)
 
         pairs = ddim_times(sched.num_timesteps, self.sample_step)
         x = jax.random.normal(r_x, (f, p, 4))
@@ -124,7 +136,8 @@ class StreamingDetector:
                 t_cond = jnp.full((f,), pairs[0][0], jnp.int32)
                 logits, pred_boxes, _ = self.model.apply(
                     params, feats, boxes0, pro0, t_cond, state.mem.feats,
-                    mem_mask, method=DiffusionDetArch.refine)
+                    mem_mask, mem_dis, mem_dis_mask,
+                    method=DiffusionDetArch.refine)
             dets = jax.vmap(
                 lambda lg, bx: postprocess_frame(
                     lg, bx, (whwh[1], whwh[0]), self.detections_per_img,
@@ -140,6 +153,7 @@ class StreamingDetector:
                 boxes_in = signal_to_boxes(x, whwh, sched.scale)
                 logits, pred_boxes, _ = self.model.apply(
                     params, feats, boxes_in, t_cond, state.mem.feats, mem_mask,
+                    mem_dis, mem_dis_mask,
                     method=DiffusionDetArch.full_forward_test)
 
                 x_start = boxes_to_signal(pred_boxes, whwh, sched.scale)
@@ -212,7 +226,17 @@ class StreamingDetector:
         mem_dis = update_erase_memory(state.mem_dis, k2_flat, c2)
         return StreamState(mem, mem_dis, rng), rng
 
-    def process_chunk(self, state: StreamState, frames, whwh):
+    def _fold_topk(self, state: StreamState, k1, k2, n_valid):
+        mem = update_erase_memory(
+            state.mem, k1.reshape(-1, k1.shape[-1]),
+            n_valid * k1.shape[1])
+        mem_dis = update_erase_memory(
+            state.mem_dis, k2.reshape(-1, k2.shape[-1]),
+            n_valid * k2.shape[1])
+        return StreamState(mem, mem_dis, state.rng)
+
+    def process_chunk(self, state: StreamState, frames, whwh,
+                      n_valid: int = None):
         """Detect on one INFER_BATCH chunk of consecutive frames.
 
         frames [F, H, W, 3] float 0..255 (F == infer_batch; pad the tail
@@ -220,5 +244,9 @@ class StreamingDetector:
         (per-video constant — the reference assumes equal sizes within a
         video, diffusion_det.py:529).
         Returns (new_state, BoxArray batch [F, D])."""
-        state, dets, _topk = self._detect(self.params, state, frames, whwh)
+        state, dets, topk = self._detect(self.params, state, frames, whwh)
+        if not self.stop_update_after_init:
+            k1, k2 = topk
+            nv = frames.shape[0] if n_valid is None else n_valid
+            state = self._fold(state, k1, k2, jnp.asarray(nv, jnp.int32))
         return state, dets

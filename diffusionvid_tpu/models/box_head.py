@@ -39,6 +39,7 @@ class C4BoxFeatureExtractor(nn.Module):
     """ROIAlign(14×14, 1/16) → res5 (stride 2) → mean pool → [B, R, 2048]."""
 
     depth: int = 101
+    dilation: int = 1     # RES5_DILATION (BASE_RCNN_*gpu.yaml sets 2)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -48,6 +49,7 @@ class C4BoxFeatureExtractor(nn.Module):
         b, r = pooled.shape[:2]
         x = pooled.reshape(b * r, 14, 14, pooled.shape[-1])
         x = ResNetStage(depth=self.depth, stage=5, stride=2,
+                        dilation=self.dilation,
                         dtype=self.dtype, name="head")(x)
         x = x.mean(axis=(1, 2))
         return x.reshape(b, r, -1)

@@ -115,6 +115,30 @@ class SparseRCNNDAFA(nn.Module):
         n = jnp.asarray(feats.shape[0], jnp.int32)
         return DafaState(update_erase_memory(state.mem, feats, n))
 
+    def train_loss(self, cur_images, global_images, whwh,
+                   gt_boxes, gt_labels, gt_valid,
+                   class_weight: float = 2.0, l1_weight: float = 5.0,
+                   giou_weight: float = 2.0):
+        """DAFA training (sparse_rcnn_dafa.py:247-382 re-designed for the
+        Sparse R-CNN formulation): global ref frames fill the temporal
+        memory, the current frame runs the decoder stages with memory
+        attention, and every stage is deeply supervised by the simOTA set
+        criterion on the current frame's GT."""
+        from .criterion import set_criterion
+
+        state = None
+        if global_images is not None and global_images.shape[0] > 0:
+            feats = self.extract_topk(global_images, whwh)
+            state = self.update_memory(self.init_state(), feats)
+        logits, boxes = self(cur_images, whwh, state=state, train=True)
+        whwh_b = jnp.tile(whwh[None], (cur_images.shape[0], 1))
+        total, losses = set_criterion(
+            logits, boxes, gt_labels, gt_boxes, gt_valid, whwh_b,
+            self.num_classes, class_weight=class_weight,
+            l1_weight=l1_weight, giou_weight=giou_weight)
+        losses["total_loss_stages"] = total
+        return losses
+
     def __call__(self, images, whwh, state: DafaState = None,
                  train: bool = False):
         """Returns stacked per-stage (logits [S,B,N,K], boxes [S,B,N,4])."""

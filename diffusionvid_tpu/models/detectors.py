@@ -23,28 +23,57 @@ def build_detection_model(cfg, dtype=None):
         from .diffusion_det import DiffusionDetArch
         return DiffusionDetArch.from_config(cfg, dtype=dt)
 
+    if cfg.MODEL.RETINANET_ON or arch == "RetinaNet":
+        from .retinanet import RetinaNet
+        r = cfg.MODEL.RETINANET
+        return RetinaNet(
+            depth=cfg.MODEL.RESNETS.DEPTH, num_classes=r.NUM_CLASSES,
+            anchor_sizes=tuple(r.ANCHOR_SIZES),
+            aspect_ratios=tuple(r.ASPECT_RATIOS),
+            strides=tuple(r.ANCHOR_STRIDES),
+            scales_per_octave=r.SCALES_PER_OCTAVE, octave=r.OCTAVE,
+            fg_iou=r.FG_IOU_THRESHOLD, bg_iou=r.BG_IOU_THRESHOLD,
+            loss_alpha=r.LOSS_ALPHA, loss_gamma=r.LOSS_GAMMA,
+            reg_beta=r.BBOX_REG_BETA, reg_weight=r.BBOX_REG_WEIGHT,
+            pre_nms_top_n=r.PRE_NMS_TOP_N, score_thresh=r.INFERENCE_TH,
+            nms_thresh=r.NMS_TH, dtype=dt)
+
     depth = cfg.MODEL.RESNETS.DEPTH
     ncls = cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES
+    dil = cfg.MODEL.RESNETS.RES5_DILATION
+    rpn = cfg.MODEL.RPN
+    nms_kw = dict(pre_nms=rpn.PRE_NMS_TOP_N_TEST,
+                  post_nms=rpn.POST_NMS_TOP_N_TEST,
+                  pre_nms_train=rpn.PRE_NMS_TOP_N_TRAIN,
+                  post_nms_train=rpn.POST_NMS_TOP_N_TRAIN)
 
     if method == "base":
         from .rcnn import GeneralizedRCNN
-        return GeneralizedRCNN(depth=depth, num_classes=ncls, dtype=dt)
+        return GeneralizedRCNN(depth=depth, num_classes=ncls,
+                               pre_nms_test=nms_kw["pre_nms"],
+                               post_nms_test=nms_kw["post_nms"],
+                               pre_nms_train=nms_kw["pre_nms_train"],
+                               post_nms_train=nms_kw["post_nms_train"],
+                               anchor_sizes=tuple(rpn.ANCHOR_SIZES),
+                               res5_dilation=dil, dtype=dt)
     if method == "dff":
         from .video_archs import DFFArch
         return DFFArch(depth=depth, num_classes=ncls,
                        key_frame_duration=cfg.MODEL.VID.DFF.KEY_FRAME_DURATION,
-                       dtype=dt)
+                       res5_dilation=dil, dtype=dt, **nms_kw)
     if method == "fgfa":
         from .video_archs import FGFAArch
-        return FGFAArch(depth=depth, num_classes=ncls, dtype=dt)
+        return FGFAArch(depth=depth, num_classes=ncls, res5_dilation=dil,
+                        dtype=dt, **nms_kw)
     if method == "rdn":
         from .video_archs import RDNArch
-        return RDNArch(depth=depth, num_classes=ncls, dtype=dt)
+        return RDNArch(depth=depth, num_classes=ncls, res5_dilation=dil,
+                       dtype=dt, **nms_kw)
     if method == "mega":
         from .video_archs import MEGAArch
-        return MEGAArch(depth=depth, num_classes=ncls,
+        return MEGAArch(depth=depth, num_classes=ncls, res5_dilation=dil,
                         memory_size=cfg.MODEL.VID.MEGA.MEMORY_MANAGEMENT_SIZE_TEST,
-                        dtype=dt)
+                        dtype=dt, **nms_kw)
     if method == "dafa":
         from .dafa import SparseRCNNDAFA
         return SparseRCNNDAFA(depth=depth,

@@ -168,6 +168,7 @@ class DiffusionDetArch(nn.Module):
     hidden_dim: int = 256
     num_heads: int = 3
     num_heads_local: int = 1
+    res_stage: int = 1              # VID.MEGA.GLOBAL.RES_STAGE
     backbone_type: str = "resnet"   # "resnet" | "swin"
     swin_size: str = "B-22k"
     fpn_in: Sequence[str] = ("res3", "res4", "res5")
@@ -187,6 +188,7 @@ class DiffusionDetArch(nn.Module):
             hidden_dim=dd.HIDDEN_DIM,
             num_heads=dd.NUM_HEADS,
             num_heads_local=dd.NUM_HEADS_LOCAL,
+            res_stage=cfg.MODEL.VID.MEGA.GLOBAL.RES_STAGE,
             backbone_type="swin" if is_swin else "resnet",
             swin_size=cfg.MODEL.SWIN.SIZE if is_swin else "B-22k",
             fpn_in=tuple(cfg.MODEL.FPN.IN_FEATURES),
@@ -215,6 +217,7 @@ class DiffusionDetArch(nn.Module):
         self.head = DynamicHead(
             num_classes=self.num_classes, d_model=self.hidden_dim,
             num_heads=self.num_heads, num_heads_local=self.num_heads_local,
+            global_stages=self.res_stage,
             top_k=(k1, k2), dtype=self.compute_dtype, name="head")
 
     @property
@@ -253,17 +256,21 @@ class DiffusionDetArch(nn.Module):
         return (inter_logits[-1].astype(jnp.float32),
                 inter_boxes[-1].astype(jnp.float32), pro_features, k1, k2)
 
-    def refine(self, feats, bboxes, pro_features, t, memory, memory_mask):
+    def refine(self, feats, bboxes, pro_features, t, memory, memory_mask,
+               memory_dis=None, memory_dis_mask=None):
         """Global cross-attention + conditioned stage (one DDIM model call
         on the current batch, diffusion_det.py:551-557 + box_head.py:319-424).
         With NUM_HEADS_LOCAL=0 (plain DiffusionDet) the cached shared-stage
-        outputs ARE the detections — callers should use full_forward_test."""
+        outputs ARE the detections — callers should use full_forward_test.
+        RES_STAGE≥2 additionally consumes the 150-slot distinct memory."""
         logits, boxes, pro = self.head.condition(
             feats, self.spatial_scales, bboxes, pro_features, t,
-            memory, memory_mask, train=False)
+            memory, memory_mask, train=False,
+            memory_dis=memory_dis, memory_dis_mask=memory_dis_mask)
         return logits[-1].astype(jnp.float32), boxes[-1].astype(jnp.float32), pro
 
-    def full_forward_test(self, feats, bboxes, t, memory, memory_mask):
+    def full_forward_test(self, feats, bboxes, t, memory, memory_mask,
+                          memory_dis=None, memory_dis_mask=None):
         """Full stack at test time (multi-step DDIM re-runs the shared
         stages each step — box_head.py:286-299 with sampling_timesteps>1,
         then the conditioned path when NUM_HEADS_LOCAL > 0)."""
@@ -275,5 +282,6 @@ class DiffusionDetArch(nn.Module):
         last_boxes = inter_boxes[-1]
         logits, boxes, pro = self.head.condition(
             feats, self.spatial_scales, last_boxes, pro_features, t,
-            memory, memory_mask, train=False)
+            memory, memory_mask, train=False,
+            memory_dis=memory_dis, memory_dis_mask=memory_dis_mask)
         return logits[-1].astype(jnp.float32), boxes[-1].astype(jnp.float32), pro

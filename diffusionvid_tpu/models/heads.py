@@ -326,12 +326,19 @@ class DynamicHead(nn.Module):
         return feats_k1, feats_k1[:, :k2]
 
     def condition(self, features, spatial_scales, bboxes, pro_features, t,
-                  memory, memory_mask, train: bool = False):
+                  memory, memory_mask, train: bool = False,
+                  memory_dis=None, memory_dis_mask=None):
         """Global cross-attention + conditioned stage(s).
 
         pro_features [B, N, D]; memory [M, D] diverse global memory (or the
         concatenated global-frame top-k features at training time);
-        memory_mask [M] validity.  Returns per-stage (logits, boxes) lists.
+        memory_mask [M] validity.  With ``global_stages >= 2`` (GLOBAL.
+        RES_STAGE=2, e.g. DAFA-G) the 150-slot DISTINCT memory joins the
+        queries for a first attention over the diverse memory, then the
+        refined distinct slice keys the second attention (box_head.py:
+        367-385 ``global_kv_[1]`` split + the two-stage update_lm design,
+        roi_box_feature_extractors.py:1174-1211).  Returns per-stage
+        (logits, boxes) lists.
         """
         b, n, d = pro_features.shape
         time_emb = self.time_embedding(t)
@@ -340,7 +347,24 @@ class DynamicHead(nn.Module):
         # global memory (reference: seq-major batch=1, box_head.py:365-374).
         query = pro_features.reshape(1, b * n, d)
         kv = memory[None].astype(query.dtype)
-        attn = self.global_attention[0](query, kv, kv, key_mask=memory_mask[None])
+        if self.global_stages >= 2:
+            if memory_dis is None:
+                # training parity: both stages key on the same global set
+                # (box_head.py:336 global_kv_ = [global_kv1_, global_kv1_])
+                memory_dis, memory_dis_mask = memory, memory_mask
+            m2 = memory_dis.shape[0]
+            q_cat = jnp.concatenate([query, memory_dis[None].astype(query.dtype)],
+                                    axis=1)
+            a0 = self.global_attention[0](q_cat, kv, kv,
+                                          key_mask=memory_mask[None])
+            refined = q_cat + a0
+            kv2 = refined[:, b * n:]
+            attn = self.global_attention[1](
+                refined[:, : b * n], kv2, kv2,
+                key_mask=memory_dis_mask[None])
+        else:
+            attn = self.global_attention[0](query, kv, kv,
+                                            key_mask=memory_mask[None])
         attn = attn.reshape(b, n, d)
 
         if train:

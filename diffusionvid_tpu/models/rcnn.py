@@ -39,6 +39,7 @@ class GeneralizedRCNN(nn.Module):
     pre_nms_test: int = 2000
     post_nms_test: int = 300
     ref_post_nms: int = 75       # MEGA-family ref-frame proposals
+    res5_dilation: int = 1       # MODEL.RESNETS.RES5_DILATION
     pixel_mean: Sequence[float] = (123.675, 116.280, 103.530)
     pixel_std: Sequence[float] = (58.395, 57.120, 57.375)
     dtype: Any = jnp.float32
@@ -49,6 +50,7 @@ class GeneralizedRCNN(nn.Module):
         self.num_anchors = len(self.anchor_sizes) * len(self.anchor_ratios)
         self.rpn_head = RPNHead(self.num_anchors, dtype=self.dtype, name="rpn")
         self.box_extractor = C4BoxFeatureExtractor(depth=self.depth,
+                                                   dilation=self.res5_dilation,
                                                    dtype=self.dtype,
                                                    name="roi_head")
         self.predictor = FastRCNNPredictor(self.num_classes, name="predictor")
@@ -84,25 +86,39 @@ class GeneralizedRCNN(nn.Module):
         """Pooled per-proposal features (used directly by the MEGA family)."""
         return self.box_extractor(feat, boxes)
 
+    def losses_from_features(self, feat, image_hw, gt_boxes, gt_labels,
+                             gt_valid):
+        """RPN + box-head losses given trunk features — the shared train
+        tail reused by DFF/FGFA whose features are flow-warped/aggregated
+        before detection (generalized_rcnn_dff.py:88-115,
+        generalized_rcnn_fgfa.py:105-143)."""
+        props, (logits, deltas, anchors) = self.proposals(feat, image_hw,
+                                                          train=True)
+        # proposals are training DATA, not a differentiable path — the
+        # reference's RPN inference runs under no_grad (rpn/inference.py);
+        # without this, grads flow through the O(k·N) NMS selection loop
+        props = jax.tree.map(jax.lax.stop_gradient, props)
+        r1, r2 = jax.random.split(self.make_rng("sampler"))
+        losses = rpn_loss(r1, logits, deltas, anchors, gt_boxes, gt_valid)
+        # append GT boxes to proposals (add_gt_proposals,
+        # rpn/inference.py) — static: replace the tail slots
+        g = gt_boxes.shape[1]
+        boxes = jnp.concatenate([props.boxes[:, :-g], gt_boxes], axis=1)
+        valid = jnp.concatenate([props.valid[:, :-g], gt_valid], axis=1)
+        x = self.box_features(feat, boxes)
+        cls_logits, box_deltas = self.predictor(x)
+        losses.update(fast_rcnn_loss(
+            r2, cls_logits, box_deltas, boxes, valid,
+            gt_boxes, gt_labels, gt_valid))
+        return losses
+
     def __call__(self, images, image_hw, gt_boxes=None, gt_labels=None,
                  gt_valid=None, train: bool = False):
         feat = self.features(images)
-        props, (logits, deltas, anchors) = self.proposals(feat, image_hw,
-                                                          train=train)
         if train:
-            r1, r2 = jax.random.split(self.make_rng("sampler"))
-            losses = rpn_loss(r1, logits, deltas, anchors, gt_boxes, gt_valid)
-            # append GT boxes to proposals (add_gt_proposals,
-            # rpn/inference.py) — static: replace the tail slots
-            g = gt_boxes.shape[1]
-            boxes = jnp.concatenate([props.boxes[:, :-g], gt_boxes], axis=1)
-            valid = jnp.concatenate([props.valid[:, :-g], gt_valid], axis=1)
-            x = self.box_features(feat, boxes)
-            cls_logits, box_deltas = self.predictor(x)
-            losses.update(fast_rcnn_loss(
-                r2, cls_logits, box_deltas, boxes, valid,
-                gt_boxes, gt_labels, gt_valid))
-            return losses
+            return self.losses_from_features(feat, image_hw, gt_boxes,
+                                             gt_labels, gt_valid)
+        props, _ = self.proposals(feat, image_hw, train=False)
         x = self.box_features(feat, props.boxes)
         cls_logits, box_deltas = self.predictor(x)
         dets = jax.vmap(lambda cl, bd, pb, pv: postprocess_classic(

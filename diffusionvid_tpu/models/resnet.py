@@ -68,6 +68,7 @@ class Conv(nn.Module):
     padding: int = 0
     use_bias: bool = False
     dtype: Dtype = jnp.float32
+    dilation: int = 1      # kept last: callers pass dtype positionally
 
     @nn.compact
     def __call__(self, x):
@@ -81,6 +82,7 @@ class Conv(nn.Module):
             x.astype(self.dtype), w_hwio,
             window_strides=(self.stride, self.stride),
             padding=[(self.padding, self.padding)] * 2,
+            rhs_dilation=(self.dilation, self.dilation),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:
@@ -101,17 +103,21 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # dilation>1 resets the stride to 1 (maskrcnn-benchmark
+        # Bottleneck.__init__: "if dilation > 1: stride = 1")
+        stride = 1 if self.dilation > 1 else self.stride
         identity = x
         y = Conv(self.mid, 1, 1, 0, dtype=self.dtype, name="conv1")(x)
         y = FrozenBatchNorm(self.mid, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
-        y = Conv(self.mid, 3, self.stride, self.dilation, dtype=self.dtype, name="conv2")(y)
+        y = Conv(self.mid, 3, stride, self.dilation,
+                 dilation=self.dilation, dtype=self.dtype, name="conv2")(y)
         y = FrozenBatchNorm(self.mid, dtype=self.dtype, name="bn2")(y)
         y = nn.relu(y)
         y = Conv(self.out, 1, 1, 0, dtype=self.dtype, name="conv3")(y)
         y = FrozenBatchNorm(self.out, dtype=self.dtype, name="bn3")(y)
         if self.has_shortcut:
-            identity = Conv(self.out, 1, self.stride, 0, dtype=self.dtype, name="downsample_conv")(x)
+            identity = Conv(self.out, 1, stride, 0, dtype=self.dtype, name="downsample_conv")(x)
             identity = FrozenBatchNorm(self.out, dtype=self.dtype, name="downsample_bn")(identity)
         return nn.relu(y + identity)
 
@@ -165,6 +171,7 @@ class ResNetStage(nn.Module):
     depth: int = 101
     stage: int = 5
     stride: int = 2
+    dilation: int = 1      # RES5_DILATION (dilation>1 → stride 1)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -176,6 +183,7 @@ class ResNetStage(nn.Module):
             x = Bottleneck(
                 mid=mid, out=out_ch,
                 stride=self.stride if b == 0 else 1,
+                dilation=self.dilation,
                 has_shortcut=(b == 0),
                 dtype=self.dtype,
                 name=f"layer{self.stage - 1}.{b}",

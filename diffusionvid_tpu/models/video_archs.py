@@ -29,11 +29,12 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.memory import FeatureMemory, init_memory, update_erase_memory
-from .box_head import FastRCNNPredictor, postprocess_classic
+from .box_head import FastRCNNPredictor, fast_rcnn_loss, postprocess_classic
 from .flownet import EmbedNet, FlowNetS, warp_features
 from .heads import Linear
 from .rcnn import GeneralizedRCNN
 from .relation import RelationStack
+from .rpn import rpn_loss
 
 
 class DFFArch(nn.Module):
@@ -44,6 +45,9 @@ class DFFArch(nn.Module):
     key_frame_duration: int = 10
     pre_nms: int = 2000
     post_nms: int = 300
+    pre_nms_train: int = 2000
+    post_nms_train: int = 300
+    res5_dilation: int = 1
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -51,6 +55,9 @@ class DFFArch(nn.Module):
                                         num_classes=self.num_classes,
                                         pre_nms_test=self.pre_nms,
                                         post_nms_test=self.post_nms,
+                                        pre_nms_train=self.pre_nms_train,
+                                        post_nms_train=self.post_nms_train,
+                                        res5_dilation=self.res5_dilation,
                                         dtype=self.dtype, name="detector")
         self.flownet = FlowNetS(predict_scale=True, dtype=self.dtype,
                                 name="flownet")
@@ -75,6 +82,16 @@ class DFFArch(nn.Module):
             cl, bd, pb, pv, image_hw))(cls_logits, box_deltas,
                                        props.boxes, props.valid)
 
+    def train_loss(self, cur_images, ref_images, image_hw,
+                   gt_boxes, gt_labels, gt_valid):
+        """DFF training (generalized_rcnn_dff.py:88-115): backbone runs on
+        the sampled KEY frame only; its features are flow-warped onto the
+        current frame and the detector trains on the current frame's GT."""
+        key_feat = self.key_features(ref_images)
+        feat = self.warp_from_key(ref_images, cur_images, key_feat)
+        return self.detector.losses_from_features(
+            feat, image_hw, gt_boxes, gt_labels, gt_valid)
+
     def __call__(self, key_images, cur_images, image_hw, is_key: bool = False):
         key_feat = self.key_features(key_images)
         feat = key_feat if is_key else self.warp_from_key(
@@ -89,6 +106,9 @@ class FGFAArch(nn.Module):
     num_classes: int = 31
     pre_nms: int = 2000
     post_nms: int = 300
+    pre_nms_train: int = 2000
+    post_nms_train: int = 300
+    res5_dilation: int = 1
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -96,6 +116,9 @@ class FGFAArch(nn.Module):
                                         num_classes=self.num_classes,
                                         pre_nms_test=self.pre_nms,
                                         post_nms_test=self.post_nms,
+                                        pre_nms_train=self.pre_nms_train,
+                                        post_nms_train=self.post_nms_train,
+                                        res5_dilation=self.res5_dilation,
                                         dtype=self.dtype, name="detector")
         self.flownet = FlowNetS(predict_scale=False, dtype=self.dtype,
                                 name="flownet")
@@ -120,6 +143,35 @@ class FGFAArch(nn.Module):
         return jnp.sum(warped.astype(jnp.float32) * w, axis=0,
                        keepdims=True).astype(warped.dtype)
 
+    def train_loss(self, cur_images, ref_images, image_hw,
+                   gt_boxes, gt_labels, gt_valid):
+        """FGFA training (generalized_rcnn_fgfa.py:105-143): one backbone
+        pass over [cur, refs], refs flow-warped onto cur, cosine-weight
+        aggregation against the CUR frame's embedding, detector trained on
+        the current frame's GT."""
+        all_images = jnp.concatenate([cur_images, ref_images], 0)
+        feats = self.detector.features(all_images)
+        cur_feat, ref_feats = feats[:1], feats[1:]
+
+        r = ref_images.shape[0]
+        cur_rep = jnp.repeat(cur_images, r, axis=0)
+        pair = jnp.concatenate([cur_rep / 255.0, ref_images / 255.0], -1)
+        flow = self.flownet(pair)
+        flow = flow[:, : ref_feats.shape[1], : ref_feats.shape[2]]
+        warped = warp_features(ref_feats, flow)               # [R,H,W,C]
+
+        emb = self.embednet(jnp.concatenate([cur_feat, warped], 0))
+        cur_emb, ref_emb = emb[:1], emb[1:]
+        norm = lambda e: e / jnp.maximum(
+            jnp.linalg.norm(e.astype(jnp.float32), axis=-1, keepdims=True),
+            1e-6)
+        cos = jnp.sum(norm(ref_emb) * norm(cur_emb), axis=-1)   # [R,H,W]
+        w = jax.nn.softmax(cos, axis=0)[..., None]
+        feat = jnp.sum(warped.astype(jnp.float32) * w, axis=0,
+                       keepdims=True).astype(warped.dtype)
+        return self.detector.losses_from_features(
+            feat, image_hw, gt_boxes, gt_labels, gt_valid)
+
     def __call__(self, cur_images, ref_images, image_hw):
         """ref_images must include the current frame as its last entry."""
         ref_feats = self.detector.features(ref_images)
@@ -142,7 +194,10 @@ class RDNArch(nn.Module):
     relation_stages: int = 2
     pre_nms: int = 2000
     post_nms: int = 300
+    pre_nms_train: int = 2000
+    post_nms_train: int = 300
     joint: bool = False   # True = MEGA stagewise cur+ref co-refinement
+    res5_dilation: int = 1
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -150,6 +205,9 @@ class RDNArch(nn.Module):
                                         num_classes=self.num_classes,
                                         pre_nms_test=self.pre_nms,
                                         post_nms_test=self.post_nms,
+                                        pre_nms_train=self.pre_nms_train,
+                                        post_nms_train=self.post_nms_train,
+                                        res5_dilation=self.res5_dilation,
                                         dtype=self.dtype, name="detector")
         self.reduce = Linear(self.feat_dim, dtype=self.dtype, name="reduce")
         self.relation = RelationStack(num_stages=self.relation_stages,
@@ -161,6 +219,52 @@ class RDNArch(nn.Module):
     def pooled(self, feat, boxes):
         x = self.detector.box_features(feat, boxes)     # [B,R,2048]
         return nn.relu(self.reduce(x))                  # [B,R,1024]
+
+    def _ref_pooled(self, ref_feat, image_hw):
+        """75-proposal ref-frame features+boxes (rpn version="ref")."""
+        ref_props, _ = self.detector.proposals(ref_feat, image_hw,
+                                               train=False, ref=True)
+        ref_x = jax.vmap(lambda f, b: self.pooled(f[None], b[None])[0])(
+            ref_feat, ref_props.boxes).reshape(-1, self.feat_dim)
+        return (ref_x, ref_props.boxes.reshape(-1, 4),
+                ref_props.valid.reshape(-1))
+
+    def train_loss(self, cur_images, ref_images, image_hw,
+                   gt_boxes, gt_labels, gt_valid,
+                   extra_kv=None, extra_valid=None):
+        """RDN training (generalized_rcnn_rdn.py:75-106): one backbone pass
+        over [cur, refs]; RPN trains on the current frame; the sampled
+        current-frame proposals are relation-attended over the ref set
+        (cur-as-ref first, rpn/rpn.py version="ref") before the Fast R-CNN
+        loss.  ``extra_kv`` lets MEGA append memory/global keys."""
+        all_images = jnp.concatenate([cur_images, ref_images], 0)
+        feats = self.detector.features(all_images)
+        cur_feat, ref_feat = feats[:1], feats[1:]
+
+        props, (logits, deltas, anchors) = self.detector.proposals(
+            cur_feat, image_hw, train=True)
+        # detached, as in the reference's no_grad RPN inference
+        props = jax.tree.map(jax.lax.stop_gradient, props)
+        r1, r2 = jax.random.split(self.make_rng("sampler"))
+        losses = rpn_loss(r1, logits, deltas, anchors,
+                          gt_boxes[None], gt_valid[None])
+        # GT replaces the proposal tail (add_gt_proposals semantics)
+        g = gt_boxes.shape[0]
+        boxes = jnp.concatenate([props.boxes[0, :-g], gt_boxes], axis=0)
+        valid = jnp.concatenate([props.valid[0, :-g], gt_valid], axis=0)
+
+        cur_x = self.pooled(cur_feat, boxes[None])[0]
+        # reference set: cur as its own ref + the sampled refs
+        ref_x, ref_boxes, ref_valid = self._ref_pooled(
+            jnp.concatenate([cur_feat, ref_feat], 0), image_hw)
+
+        x = self.relation(cur_x, ref_x, boxes, ref_boxes, ref_valid,
+                          extra_kv=extra_kv, extra_valid=extra_valid)
+        cls_logits, box_deltas = self.predictor(x[None])
+        losses.update(fast_rcnn_loss(
+            r2, cls_logits, box_deltas, boxes[None], valid[None],
+            gt_boxes[None], gt_labels[None], gt_valid[None]))
+        return losses
 
     def __call__(self, cur_images, ref_images, image_hw):
         """Single-image inference: cur [1,H,W,3], refs [L,H,W,3]."""
@@ -223,6 +327,27 @@ class MEGAArch(RDNArch):
         # compact valid features to a prefix (order-preserving)
         order = jnp.argsort(~valid)        # valid first, stable
         return MegaState(update_erase_memory(state.mem, feats[order], count))
+
+    def train_loss_mega(self, cur_images, local_images, mem_images,
+                        global_images, image_hw, gt_boxes, gt_labels,
+                        gt_valid):
+        """MEGA training (generalized_rcnn_mega.py:252-388): memory and
+        global frames contribute ref-proposal features as geometry-free
+        attention keys (the roles of update_memory/update_lm at train
+        time); local frames are the geometric relation refs; losses are on
+        the current frame only."""
+        extra_kv = extra_valid = None
+        aux = []
+        if mem_images is not None and mem_images.shape[0] > 0:
+            aux.append(mem_images)
+        if global_images is not None and global_images.shape[0] > 0:
+            aux.append(global_images)
+        if aux:
+            aux_feat = self.detector.features(jnp.concatenate(aux, 0))
+            extra_kv, _, extra_valid = self._ref_pooled(aux_feat, image_hw)
+        return self.train_loss(cur_images, local_images, image_hw,
+                               gt_boxes, gt_labels, gt_valid,
+                               extra_kv=extra_kv, extra_valid=extra_valid)
 
     def __call__(self, cur_images, ref_images, image_hw,
                  state: MegaState = None):

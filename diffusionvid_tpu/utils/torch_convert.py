@@ -212,11 +212,143 @@ def convert_torch_state_dict(state: Dict[str, "np.ndarray"],
     return {"params": params}
 
 
+_C2_SUFFIX = {
+    "_w": ("conv", "weight"), "_b": ("conv", "bias"),
+    "_bn_s": ("bn", "weight"), "_bn_b": ("bn", "bias"),
+    "_bn_rm": ("bn", "running_mean"), "_bn_riv": ("bn", "running_var"),
+    "_bn_running_mean": ("bn", "running_mean"),
+    "_bn_running_var": ("bn", "running_var"),
+}
+
+
+def c2_to_torch_names(state: Dict[str, "np.ndarray"]) -> Dict[str, "np.ndarray"]:
+    """Caffe2 blob names → torchvision-style module names (the reference's
+    ``c2_model_loading.py:1-219`` renaming: ``res2_0_branch2a_w`` →
+    ``layer1.0.conv1.weight`` etc.).  C2 FrozenBN stores only scale/bias
+    (stats absorbed) — identity running stats are synthesized so the target
+    FrozenBatchNorm computes the same affine."""
+    branch_map = {"branch2a": "conv1", "branch2b": "conv2",
+                  "branch2c": "conv3", "branch1": "downsample"}
+    out: Dict[str, np.ndarray] = {}
+
+    def put_bn_stats(prefix: str, like: np.ndarray):
+        out.setdefault(prefix + ".running_mean", np.zeros_like(like))
+        out.setdefault(prefix + ".running_var", np.ones_like(like))
+
+    for name, v in state.items():
+        v = np.asarray(v)
+        suffix = next((s for s in sorted(_C2_SUFFIX, key=len, reverse=True)
+                       if name.endswith(s)), None)
+        if suffix is None:
+            out[name] = v
+            continue
+        stem_name = name[: -len(suffix)]
+        kind, leaf = _C2_SUFFIX[suffix]
+        m = re.match(r"res(\d)_(\d+)_(branch\d\w?)$", stem_name)
+        if m:
+            stage, block, branch = int(m.group(1)), m.group(2), m.group(3)
+            mod = branch_map[branch]
+            if mod == "downsample":
+                tgt = (f"layer{stage - 1}.{block}."
+                       + ("downsample_conv" if kind == "conv"
+                          else "downsample_bn"))
+            else:
+                tgt = (f"layer{stage - 1}.{block}."
+                       + (mod if kind == "conv" else mod.replace("conv", "bn")))
+            out[f"{tgt}.{leaf}"] = v
+            if kind == "bn":
+                put_bn_stats(tgt, v)
+            continue
+        if stem_name == "conv1":
+            tgt = "conv1" if kind == "conv" else "bn1"
+            out[f"{tgt}.{leaf}"] = v
+            if kind == "bn":
+                put_bn_stats(tgt, v)
+            continue
+        out[name] = v
+    return out
+
+
+def looks_like_c2(names) -> bool:
+    return any(re.match(r"res\d_\d+_branch", n) or n in ("conv1_w", "conv1_bn_s")
+               for n in names)
+
+
+def convert_backbone_only(state: Dict[str, "np.ndarray"]) -> dict:
+    """Bare-trunk state dict (torchvision names ``conv1/bn1/layerS.B...``,
+    the payload of detectron2 ``torchvision-R-101.pkl`` after its
+    ``stem.convN``/``resS.B`` names are normalized) → our backbone subtree."""
+    params: dict = {}
+    unmatched = []
+    for name, v in state.items():
+        v = np.asarray(v)
+        m = re.match(r"(conv1|bn1)\.(weight|bias|running_mean|running_var)$",
+                     name)
+        if m:
+            _set(params, ["backbone", m.group(1), m.group(2)], v)
+            continue
+        m = re.match(r"(layer\d\.\d+)\.([\w]+)\.(weight|bias|running_mean|running_var)$", name)
+        if m:
+            _set(params, ["backbone", m.group(1), m.group(2), m.group(3)], v)
+            continue
+        if name.endswith("num_batches_tracked") or name.startswith("fc."):
+            continue
+        unmatched.append(name)
+    if unmatched:
+        params["_unmatched"] = unmatched
+    return {"params": params}
+
+
+def d2_body_to_torchvision(state: Dict[str, "np.ndarray"]) -> Dict[str, "np.ndarray"]:
+    """detectron2 trunk names (``stem.conv1.*``, ``res2.0.conv1.norm.*``)
+    → torchvision names (the shape torchvision-R-101.pkl ships in)."""
+    out = {}
+    for name, v in state.items():
+        n = name
+        n = re.sub(r"^stem\.conv1\.norm\.", "bn1.", n)
+        n = re.sub(r"^stem\.conv1\.", "conv1.", n)
+        m = re.match(r"^res(\d)\.(\d+)\.(.+)$", n)
+        if m:
+            rest = m.group(3)
+            rest = re.sub(r"^shortcut\.norm\.", "downsample_bn@.", rest)
+            rest = re.sub(r"^shortcut\.", "downsample_conv@.", rest)
+            rest = re.sub(r"^conv(\d)\.norm\.", r"bn\1.", rest)
+            rest = rest.replace("@.", ".")
+            n = f"layer{int(m.group(1)) - 1}.{m.group(2)}.{rest}"
+        out[n] = v
+    return out
+
+
 def load_torch_checkpoint(path: str) -> dict:
-    """Load a torch .pth/.pkl and convert (requires torch, CPU-only)."""
-    import torch
-    raw = torch.load(path, map_location="cpu", weights_only=False)
+    """Load a torch ``.pth`` or a detectron2/Caffe2 ``.pkl`` and convert.
+
+    Handles all the reference WEIGHT formats (``DetectronCheckpointer``
+    + ``c2_model_loading.py`` + ``model_serialization.py``):
+      * full-model torch state dicts (detectron2-style names);
+      * detectron2 ``torchvision-R-101.pkl`` (plain pickle, trunk-only,
+        ``stem.*``/``res{2..5}.*`` names);
+      * Caffe2 ``R-50/R-101`` pkls (``res2_0_branch2a_w`` blob names);
+      * bare torchvision state dicts (``conv1/layer1.0...``).
+    """
+    if path.endswith(".pkl"):
+        import pickle
+        with open(path, "rb") as f:
+            raw = pickle.load(f, encoding="latin1")
+    else:
+        import torch
+        raw = torch.load(path, map_location="cpu", weights_only=False)
     state = raw.get("model", raw) if isinstance(raw, dict) else raw
-    state_np = {k: t.numpy() if hasattr(t, "numpy") else np.asarray(t)
-                for k, t in state.items()}
-    return convert_torch_state_dict(state_np)
+    state_np = {k: (t.numpy() if hasattr(t, "numpy") else np.asarray(t))
+                for k, t in state.items()
+                if not k.startswith("__") and not isinstance(t, (str, bytes))}
+
+    names = list(state_np.keys())
+    if looks_like_c2(names):
+        state_np = c2_to_torch_names(state_np)
+        names = list(state_np.keys())
+    if any(n.startswith(("stem.", "res2.", "res3.")) for n in names):
+        state_np = d2_body_to_torchvision(state_np)
+        names = list(state_np.keys())
+    if any(n.startswith(("backbone.", "head.")) for n in names):
+        return convert_torch_state_dict(state_np)
+    return convert_backbone_only(state_np)

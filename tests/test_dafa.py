@@ -3,9 +3,12 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from diffusionvid_tpu.models.dafa import SparseRCNNDAFA
 from diffusionvid_tpu.models.criterion import set_criterion
+
+pytestmark = pytest.mark.slow  # model-jitting integration tests (run with -m slow)
 
 H, W = 64, 96
 

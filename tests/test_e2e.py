@@ -13,6 +13,8 @@ from diffusionvid_tpu.engine import (
 )
 from diffusionvid_tpu.parallel import make_mesh, make_dp_train_step, shard_batch_pytree, replicate
 
+pytestmark = pytest.mark.slow  # model-jitting integration tests (run with -m slow)
+
 
 H, W = 64, 96
 NUM_GLOBAL = 2

@@ -10,6 +10,8 @@ from tests.test_data import mini_vid, _write_xml  # noqa: F401
 from diffusionvid_tpu.data import VIDDataset, SampleConfig
 from diffusionvid_tpu.engine.inference_mega import run_inference_video_arch
 
+pytestmark = pytest.mark.slow  # model-jitting integration tests (run with -m slow)
+
 
 @pytest.fixture(scope="module")
 def ds(mini_vid):  # noqa: F811

@@ -12,6 +12,8 @@ from diffusionvid_tpu.data import VIDDataset, SampleConfig
 from diffusionvid_tpu.engine.inference import run_inference, inference_no_model
 from diffusionvid_tpu.models.diffusion_det import DiffusionDetArch
 
+pytestmark = pytest.mark.slow  # model-jitting integration tests (run with -m slow)
+
 
 @pytest.mark.slow
 def test_run_inference_end_to_end(mini_vid, tmp_path):  # noqa: F811

@@ -12,6 +12,8 @@ from diffusionvid_tpu.models import (
     simota_match, set_criterion, sinusoidal_time_embedding, ddim_times,
 )
 
+pytestmark = pytest.mark.slow  # model-jitting integration tests (run with -m slow)
+
 
 def test_resnet_fpn_shapes():
     m = ResNet(depth=50, out_features=("res3", "res4", "res5"), dtype=jnp.float32)

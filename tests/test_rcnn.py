@@ -4,6 +4,7 @@ GeneralizedRCNN train + inference on tiny shapes."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from diffusionvid_tpu.models.rpn import (
     generate_anchors, shift_anchors, select_proposals, match_anchors,
@@ -11,6 +12,8 @@ from diffusionvid_tpu.models.rpn import (
 )
 from diffusionvid_tpu.ops.nms import nms_select
 from diffusionvid_tpu.models.rcnn import GeneralizedRCNN
+
+pytestmark = pytest.mark.slow  # model-jitting integration tests (run with -m slow)
 
 
 def test_anchor_generation():

@@ -9,6 +9,8 @@ import pytest
 from diffusionvid_tpu.models.diffusion_det import DiffusionDetArch
 from diffusionvid_tpu.engine import StreamingDetector
 
+pytestmark = pytest.mark.slow  # model-jitting integration tests (run with -m slow)
+
 H, W, PROPS = 64, 96, 16
 
 

@@ -4,11 +4,14 @@ sanity, and integration with the DiffusionDet arch."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from diffusionvid_tpu.models.swin import (
     SwinTransformer, _relative_position_index, _shift_attn_mask,
     window_partition, window_reverse,
 )
+
+pytestmark = pytest.mark.slow  # model-jitting integration tests (run with -m slow)
 
 
 def test_relative_position_index():

@@ -10,6 +10,8 @@ from diffusionvid_tpu.models.flownet import (
     FlowNetS, warp_features, grid_sample_bilinear, EmbedNet,
 )
 
+pytestmark = pytest.mark.slow  # model-jitting integration tests (run with -m slow)
+
 H, W = 64, 96
 
 

@@ -1,8 +1,9 @@
 #!/usr/bin/env python
-"""Train DiffusionVID-TPU.
+"""Train any configured meta-architecture.
 
 TPU-native equivalent of the reference ``tools/train_net.py:154-243``:
-config merge → model/optimizer build → (optional) pretrained load with
+config merge → model build via the META_ARCHITECTURE/VID.METHOD dispatcher
+(``detectors.py:11-22``) → optimizer → (optional) pretrained load with
 class-head skip → iteration-based train loop with checkpoint cadence and
 periodic validation — on a data-parallel device mesh instead of DDP.
 
@@ -25,8 +26,10 @@ def main():
     parser.add_argument("--data-dir", default=None)
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--pretrained", default=None,
-                        help="checkpoint or torch .pth to start from "
+                        help="checkpoint or torch .pth/.pkl to start from "
                              "(class head re-initialized)")
+    parser.add_argument("--no-prefetch", action="store_true",
+                        help="disable the background sample prefetcher")
     parser.add_argument("opts", nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -37,12 +40,15 @@ def main():
     from diffusionvid_tpu.config import load_config
     from diffusionvid_tpu.data import (
         get_dataset, SampleConfig, build_train_sample)
-    from diffusionvid_tpu.data.sampling import ConcatDataset
+    from diffusionvid_tpu.data.sampling import (
+        ConcatDataset, MethodSampleSpec, build_train_sample_method)
     from diffusionvid_tpu.data.samplers import (
         aspect_ratio_group_ids, grouped_batches)
+    from diffusionvid_tpu.data.prefetch import PrefetchIterator
     from diffusionvid_tpu.engine import (
         TrainBatch, TrainState, make_optimizer, make_train_step)
-    from diffusionvid_tpu.models.diffusion_det import DiffusionDetArch
+    from diffusionvid_tpu.engine.train_methods import make_method_train_step
+    from diffusionvid_tpu.models.detectors import build_detection_model
     from diffusionvid_tpu.parallel import (
         make_mesh, make_dp_train_step, shard_batch_pytree, replicate)
     from diffusionvid_tpu.utils import (
@@ -60,27 +66,76 @@ def main():
     from diffusionvid_tpu.utils.collect_env import collect_env_info
     logger.info(f"environment:\n{collect_env_info()}")
 
-    model = DiffusionDetArch.from_config(cfg)
+    method = cfg.MODEL.VID.METHOD if cfg.MODEL.VID.ENABLE else "base"
+    is_diffusion = (method == "diffusion"
+                    or cfg.MODEL.META_ARCHITECTURE == "DiffusionDet")
+    model = build_detection_model(cfg)
     mega = cfg.MODEL.VID.MEGA
     num_global = mega.REF_NUM_GLOBAL
+
+    # multi-scale training: keep the whole MIN_SIZE_TRAIN tuple — the
+    # sampler jitters per sample (transforms.py Resize random choice)
+    min_train = cfg.INPUT.MIN_SIZE_TRAIN
     sample_cfg = SampleConfig(
         num_global=num_global,
-        min_size=cfg.INPUT.MIN_SIZE_TRAIN[0] if isinstance(
-            cfg.INPUT.MIN_SIZE_TRAIN, (tuple, list)) else cfg.INPUT.MIN_SIZE_TRAIN,
-        max_size=cfg.INPUT.MAX_SIZE_TRAIN)
+        min_size=tuple(min_train) if isinstance(min_train, (tuple, list))
+        else min_train,
+        max_size=cfg.INPUT.MAX_SIZE_TRAIN,
+        color_jitter=bool(cfg.INPUT.TRANSFORM))
+    spec = None if is_diffusion else MethodSampleSpec.from_config(cfg)
 
     datasets = [get_dataset(n, is_train=True, data_dir=args.data_dir)
                 for n in cfg.DATASETS.TRAIN]
 
-    # init
-    b = 1 + num_global
+    # init (shape-independent params)
     h, w = 64, 96
-    noisy = jnp.tile(jnp.asarray([8.0, 8.0, 60.0, 40.0]),
-                     (b, model.num_proposals, 1))
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "cfg": jax.random.PRNGKey(1)},
-        jnp.zeros((b, h, w, 3)), noisy, jnp.zeros((b,), jnp.int32),
-        num_global=num_global, train=True)
+    if is_diffusion:
+        b = 1 + num_global
+        noisy = jnp.tile(jnp.asarray([8.0, 8.0, 60.0, 40.0]),
+                         (b, model.num_proposals, 1))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "cfg": jax.random.PRNGKey(1)},
+            jnp.zeros((b, h, w, 3)), noisy, jnp.zeros((b,), jnp.int32),
+            num_global=num_global, train=True)
+    else:
+        b = 1 + spec.num_local + spec.num_mem + spec.num_global
+        g = 8
+        images = jnp.zeros((b, h, w, 3))
+        gtb = jnp.tile(jnp.asarray([8.0, 8.0, 60.0, 40.0]), (b, g, 1))
+        gtl = jnp.ones((b, g), jnp.int32)
+        gtv = jnp.zeros((b, g), bool).at[:, 0].set(True)
+        whwh = jnp.asarray([w, h, w, h], jnp.float32)
+        rngs = {"params": jax.random.PRNGKey(0),
+                "sampler": jax.random.PRNGKey(1)}
+        hw = (whwh[1], whwh[0])
+        l, me, gg = spec.num_local, spec.num_mem, spec.num_global
+        cur = images[:1]
+        if method == "base":
+            variables = model.init(rngs, cur, hw, gtb[:1], gtl[:1], gtv[:1],
+                                   train=True)
+        elif method == "dff":
+            variables = model.init(rngs, cur, images[1:2], hw, gtb[:1],
+                                   gtl[:1], gtv[:1],
+                                   method=type(model).train_loss)
+        elif method == "fgfa":
+            variables = model.init(rngs, cur, images[1:1 + l], hw, gtb[:1],
+                                   gtl[:1], gtv[:1],
+                                   method=type(model).train_loss)
+        elif method == "rdn":
+            variables = model.init(rngs, cur, images[1:1 + l], hw, gtb[0],
+                                   gtl[0], gtv[0],
+                                   method=type(model).train_loss)
+        elif method == "mega":
+            variables = model.init(
+                rngs, cur, images[1:1 + l], images[1 + l:1 + l + me],
+                images[1 + l + me:1 + l + me + gg], hw, gtb[0], gtl[0],
+                gtv[0], method=type(model).train_loss_mega)
+        elif method == "dafa":
+            variables = model.init(
+                rngs, cur, images[1 + l + me:1 + l + me + gg], whwh,
+                gtb[:1], gtl[:1], gtv[:1], method=type(model).train_loss)
+        else:
+            raise ValueError(f"no train path for method {method}")
     params = variables["params"]
 
     if args.pretrained:
@@ -89,7 +144,7 @@ def main():
         else:
             conv = load_checkpoint(args.pretrained)
         params, n = merge_pretrained(params, conv["params"],
-                                     skip_keys=("class_logits",))
+                                     skip_keys=("class_logits", "cls_score"))
         logger.info(f"pretrained load: {n} tensors copied (class head fresh)")
 
     sol = cfg.SOLVER
@@ -119,8 +174,11 @@ def main():
 
     mesh = make_mesh(cfg.TPU.MESH_DP if cfg.TPU.MESH_DP > 1 else None)
     n_dp = mesh.devices.size
-    step_fn = make_dp_train_step(mesh, make_train_step(model, tx, num_global),
-                                 donate=True)
+    if is_diffusion:
+        base_step = make_train_step(model, tx, num_global)
+    else:
+        base_step = make_method_train_step(model, tx, spec)
+    step_fn = make_dp_train_step(mesh, base_step, donate=True)
     state = replicate(mesh, state)
 
     # aspect-ratio-grouped batching: every batch of n_dp samples shares one
@@ -130,26 +188,47 @@ def main():
     group_ids = aspect_ratio_group_ids(train_ds)
     batch_iter = grouped_batches(group_ids, n_dp, seed=0)
     sample_rng = np.random.RandomState(1)
+
+    def build_sample(ds, i):
+        if is_diffusion:
+            if isinstance(ds, ConcatDataset):
+                return ds.sample(i, sample_rng, sample_cfg)
+            return build_train_sample(ds, i, sample_rng, sample_cfg)
+        if isinstance(ds, ConcatDataset):
+            sub, local = ds._locate(i)
+            return build_train_sample_method(sub, local, sample_rng,
+                                             sample_cfg, spec)
+        return build_train_sample_method(ds, i, sample_rng, sample_cfg, spec)
+
+    def sample_batches():
+        """Host-side sample loading, run ahead of the device by the
+        prefetcher (the reference hides this in 16 dataloader workers,
+        DATALOADER.NUM_WORKERS)."""
+        while True:
+            yield [build_sample(train_ds, i) for i in next(batch_iter)]
+
+    batches = sample_batches()
+    if not args.no_prefetch:
+        batches = PrefetchIterator(batches, depth=2)
+
     meters = MetricLogger()
     writer = MetricsWriter(output_dir, resume_step=start_iter if args.resume else None)
     rng = jax.random.PRNGKey(3)
     t_last = time.perf_counter()
 
-    reuse_steps = max(1, int(sol.BATCH_REUSE_STEPS))
+    can_reuse = is_diffusion or (spec is not None and spec.num_global > 0)
+    reuse_steps = max(1, int(sol.BATCH_REUSE_STEPS)) if can_reuse else 1
+    samples = None
     for it in range(start_iter, sol.MAX_ITER):
-        if it % reuse_steps == 0:
-            idxs = next(batch_iter)
-            if isinstance(train_ds, ConcatDataset):
-                samples = [train_ds.sample(i, sample_rng, sample_cfg) for i in idxs]
-            else:
-                samples = [build_train_sample(train_ds, i, sample_rng, sample_cfg)
-                           for i in idxs]
+        if samples is None or it % reuse_steps == 0:
+            samples = next(batches)
         else:
             # batch reuse (engine/trainer.py:107-124): swap the current
             # frame with a random global ref and retrain on the same
             # loaded batch — another gradient step with zero host IO
+            first_g = 1 if is_diffusion else 1 + spec.num_local + spec.num_mem
             for smp in samples:
-                j = sample_rng.randint(1, smp["images"].shape[0])
+                j = sample_rng.randint(first_g, smp["images"].shape[0])
                 for key in ("images", "gt_boxes", "gt_labels", "gt_valid"):
                     smp[key][[0, j]] = smp[key][[j, 0]]
         batch = TrainBatch(
@@ -171,7 +250,8 @@ def main():
                         f"({dt:.3f}s/it)")
             writer.write(it + 1, sec_per_iter=dt,
                          **{f"Train/{k}": v for k, v in vals.items()})
-        if sol.TEST_PERIOD and (it + 1) % sol.TEST_PERIOD == 0 and cfg.DATASETS.TEST:
+        if (sol.TEST_PERIOD and (it + 1) % sol.TEST_PERIOD == 0
+                and cfg.DATASETS.TEST and is_diffusion):
             # periodic validation (engine/trainer.py:187-207 semantics)
             try:
                 from diffusionvid_tpu.engine.inference import run_inference

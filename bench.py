@@ -43,10 +43,12 @@ def build(depth, backbone_type, infer_batch, swin_size="B-22k"):
     from diffusionvid_tpu.models.diffusion_det import (
         DiffusionDetArch, signal_to_boxes)
 
+    fpn_in = (("swin1", "swin2", "swin3") if backbone_type == "swin"
+              else ("res3", "res4", "res5"))
     model = DiffusionDetArch(depth=depth, num_classes=30, num_proposals=300,
                              hidden_dim=256, num_heads=3, num_heads_local=1,
                              backbone_type=backbone_type, swin_size=swin_size,
-                             compute_dtype=jnp.bfloat16)
+                             fpn_in=fpn_in, compute_dtype=jnp.bfloat16)
     whwh = jnp.asarray([W, H, W, H], jnp.float32)
     rng = np.random.RandomState(0)
     frames = jnp.asarray(rng.uniform(0, 255, (infer_batch, H, W, 3)),
@@ -122,7 +124,8 @@ def bench_train(model, variables):
     params = variables["params"]
     tx = make_optimizer(params, base_lr=1e-4, warmup_iters=0)
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
-    step = jax.jit(make_train_step(model, tx, num_global), donate_argnums=0)
+    # no donation: `variables` is reused by the later inference benches
+    step = jax.jit(make_train_step(model, tx, num_global))
     r = jax.random.PRNGKey(5)
     state, metrics = step(state, batch, r)        # compile
     _ = float(metrics["total_loss"])

@@ -40,6 +40,23 @@ DATASETS = {
 
 def get_dataset(name: str, is_train: bool, data_dir: str | None = None) -> VIDDataset:
     root = data_dir or DATA_DIR
+    # generic still-image datasets (paths_catalog.py coco_*/voc_*/
+    # cityscapes_* entries): COCO instances JSON, VOC layout, Cityscapes
+    # gtFine polygons
+    if name.startswith("coco_"):
+        from .coco_voc import COCODataset
+        split = name[len("coco_"):]
+        return COCODataset(
+            os.path.join(root, "coco", "annotations",
+                         f"instances_{split}.json"),
+            os.path.join(root, "coco", split))
+    if name.startswith("voc_"):
+        from .coco_voc import VOCDataset
+        return VOCDataset(os.path.join(root, "voc"), split=name[len("voc_"):])
+    if name.startswith("cityscapes_"):
+        from .cityscapes import CityscapesDataset
+        return CityscapesDataset(os.path.join(root, "cityscapes"),
+                                 split=name[len("cityscapes_"):])
     if name not in DATASETS:
         raise KeyError(f"unknown dataset {name}; known: {sorted(DATASETS)}")
     img_dir, anno_dir, index = DATASETS[name]

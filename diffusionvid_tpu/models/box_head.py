@@ -40,6 +40,8 @@ class C4BoxFeatureExtractor(nn.Module):
 
     depth: int = 101
     dilation: int = 1     # RES5_DILATION (BASE_RCNN_*gpu.yaml sets 2)
+    num_groups: int = 1
+    width_per_group: int = 64
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -50,6 +52,8 @@ class C4BoxFeatureExtractor(nn.Module):
         x = pooled.reshape(b * r, 14, 14, pooled.shape[-1])
         x = ResNetStage(depth=self.depth, stage=5, stride=2,
                         dilation=self.dilation,
+                        num_groups=self.num_groups,
+                        width_per_group=self.width_per_group,
                         dtype=self.dtype, name="head")(x)
         x = x.mean(axis=(1, 2))
         return x.reshape(b, r, -1)

@@ -45,7 +45,9 @@ def build_detection_model(cfg, dtype=None):
     nms_kw = dict(pre_nms=rpn.PRE_NMS_TOP_N_TEST,
                   post_nms=rpn.POST_NMS_TOP_N_TEST,
                   pre_nms_train=rpn.PRE_NMS_TOP_N_TRAIN,
-                  post_nms_train=rpn.POST_NMS_TOP_N_TRAIN)
+                  post_nms_train=rpn.POST_NMS_TOP_N_TRAIN,
+                  num_groups=cfg.MODEL.RESNETS.NUM_GROUPS,
+                  width_per_group=cfg.MODEL.RESNETS.WIDTH_PER_GROUP)
 
     if method == "base":
         from .rcnn import GeneralizedRCNN
@@ -55,6 +57,8 @@ def build_detection_model(cfg, dtype=None):
                                pre_nms_train=nms_kw["pre_nms_train"],
                                post_nms_train=nms_kw["post_nms_train"],
                                anchor_sizes=tuple(rpn.ANCHOR_SIZES),
+                               num_groups=nms_kw["num_groups"],
+                               width_per_group=nms_kw["width_per_group"],
                                res5_dilation=dil, dtype=dt)
     if method == "dff":
         from .video_archs import DFFArch

@@ -40,17 +40,23 @@ class GeneralizedRCNN(nn.Module):
     post_nms_test: int = 300
     ref_post_nms: int = 75       # MEGA-family ref-frame proposals
     res5_dilation: int = 1       # MODEL.RESNETS.RES5_DILATION
+    num_groups: int = 1          # ResNeXt (X-101 configs)
+    width_per_group: int = 64
     pixel_mean: Sequence[float] = (123.675, 116.280, 103.530)
     pixel_std: Sequence[float] = (58.395, 57.120, 57.375)
     dtype: Any = jnp.float32
 
     def setup(self):
         self.backbone = ResNet(depth=self.depth, out_features=("res4",),
+                               num_groups=self.num_groups,
+                               width_per_group=self.width_per_group,
                                dtype=self.dtype, name="backbone")
         self.num_anchors = len(self.anchor_sizes) * len(self.anchor_ratios)
         self.rpn_head = RPNHead(self.num_anchors, dtype=self.dtype, name="rpn")
         self.box_extractor = C4BoxFeatureExtractor(depth=self.depth,
                                                    dilation=self.res5_dilation,
+                                                   num_groups=self.num_groups,
+                                                   width_per_group=self.width_per_group,
                                                    dtype=self.dtype,
                                                    name="roi_head")
         self.predictor = FastRCNNPredictor(self.num_classes, name="predictor")

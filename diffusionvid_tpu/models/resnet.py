@@ -69,13 +69,14 @@ class Conv(nn.Module):
     use_bias: bool = False
     dtype: Dtype = jnp.float32
     dilation: int = 1      # kept last: callers pass dtype positionally
+    groups: int = 1        # ResNeXt grouped conv (NUM_GROUPS)
 
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
         k = self.kernel
         w = self.param("weight", nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
-                       (self.features, in_ch, k, k))
+                       (self.features, in_ch // self.groups, k, k))
         # torch OIHW → lax HWIO
         w_hwio = jnp.transpose(w, (2, 3, 1, 0)).astype(self.dtype)
         y = lax.conv_general_dilated(
@@ -83,6 +84,7 @@ class Conv(nn.Module):
             window_strides=(self.stride, self.stride),
             padding=[(self.padding, self.padding)] * 2,
             rhs_dilation=(self.dilation, self.dilation),
+            feature_group_count=self.groups,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:
@@ -99,6 +101,7 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dilation: int = 1
     has_shortcut: bool = False
+    groups: int = 1        # ResNeXt cardinality (NUM_GROUPS)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -111,7 +114,8 @@ class Bottleneck(nn.Module):
         y = FrozenBatchNorm(self.mid, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
         y = Conv(self.mid, 3, stride, self.dilation,
-                 dilation=self.dilation, dtype=self.dtype, name="conv2")(y)
+                 dilation=self.dilation, groups=self.groups,
+                 dtype=self.dtype, name="conv2")(y)
         y = FrozenBatchNorm(self.mid, dtype=self.dtype, name="bn2")(y)
         y = nn.relu(y)
         y = Conv(self.out, 1, 1, 0, dtype=self.dtype, name="conv3")(y)
@@ -130,6 +134,8 @@ class ResNet(nn.Module):
 
     depth: int = 101
     out_features: Sequence[str] = ("res3", "res4", "res5")
+    num_groups: int = 1          # ResNeXt: NUM_GROUPS (e.g. 64)
+    width_per_group: int = 64    # ResNeXt: WIDTH_PER_GROUP (e.g. 4)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -143,7 +149,10 @@ class ResNet(nn.Module):
 
         feats = {}
         out_ch = 256
-        mid = 64
+        # ResNeXt widens the bottleneck: mid = groups * width_per_group
+        # per stage (maskrcnn resnet.py stage2_bottleneck_channels scaling)
+        mid = self.num_groups * self.width_per_group \
+            if self.num_groups > 1 else 64
         max_stage = max(int(k[-1]) for k in self.out_features)  # res<k>
         for stage_idx, n_blocks in enumerate(blocks):
             if stage_idx + 2 > max_stage:
@@ -154,6 +163,7 @@ class ResNet(nn.Module):
                     mid=mid, out=out_ch,
                     stride=stride if b == 0 else 1,
                     has_shortcut=(b == 0),
+                    groups=self.num_groups,
                     dtype=self.dtype,
                     name=f"layer{stage_idx + 1}.{b}",
                 )(x)
@@ -172,12 +182,16 @@ class ResNetStage(nn.Module):
     stage: int = 5
     stride: int = 2
     dilation: int = 1      # RES5_DILATION (dilation>1 → stride 1)
+    num_groups: int = 1
+    width_per_group: int = 64
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         n_blocks = RESNET_STAGES[self.depth][self.stage - 2]
-        mid = 64 * (2 ** (self.stage - 2))
+        base = (self.num_groups * self.width_per_group
+                if self.num_groups > 1 else 64)
+        mid = base * (2 ** (self.stage - 2))
         out_ch = 256 * (2 ** (self.stage - 2))
         for b in range(n_blocks):
             x = Bottleneck(
@@ -185,6 +199,7 @@ class ResNetStage(nn.Module):
                 stride=self.stride if b == 0 else 1,
                 dilation=self.dilation,
                 has_shortcut=(b == 0),
+                groups=self.num_groups,
                 dtype=self.dtype,
                 name=f"layer{self.stage - 1}.{b}",
             )(x)

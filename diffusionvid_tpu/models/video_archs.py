@@ -48,6 +48,8 @@ class DFFArch(nn.Module):
     pre_nms_train: int = 2000
     post_nms_train: int = 300
     res5_dilation: int = 1
+    num_groups: int = 1
+    width_per_group: int = 64
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -58,6 +60,8 @@ class DFFArch(nn.Module):
                                         pre_nms_train=self.pre_nms_train,
                                         post_nms_train=self.post_nms_train,
                                         res5_dilation=self.res5_dilation,
+                                        num_groups=self.num_groups,
+                                        width_per_group=self.width_per_group,
                                         dtype=self.dtype, name="detector")
         self.flownet = FlowNetS(predict_scale=True, dtype=self.dtype,
                                 name="flownet")
@@ -109,6 +113,8 @@ class FGFAArch(nn.Module):
     pre_nms_train: int = 2000
     post_nms_train: int = 300
     res5_dilation: int = 1
+    num_groups: int = 1
+    width_per_group: int = 64
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -119,6 +125,8 @@ class FGFAArch(nn.Module):
                                         pre_nms_train=self.pre_nms_train,
                                         post_nms_train=self.post_nms_train,
                                         res5_dilation=self.res5_dilation,
+                                        num_groups=self.num_groups,
+                                        width_per_group=self.width_per_group,
                                         dtype=self.dtype, name="detector")
         self.flownet = FlowNetS(predict_scale=False, dtype=self.dtype,
                                 name="flownet")
@@ -198,6 +206,8 @@ class RDNArch(nn.Module):
     post_nms_train: int = 300
     joint: bool = False   # True = MEGA stagewise cur+ref co-refinement
     res5_dilation: int = 1
+    num_groups: int = 1
+    width_per_group: int = 64
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -208,6 +218,8 @@ class RDNArch(nn.Module):
                                         pre_nms_train=self.pre_nms_train,
                                         post_nms_train=self.post_nms_train,
                                         res5_dilation=self.res5_dilation,
+                                        num_groups=self.num_groups,
+                                        width_per_group=self.width_per_group,
                                         dtype=self.dtype, name="detector")
         self.reduce = Linear(self.feat_dim, dtype=self.dtype, name="reduce")
         self.relation = RelationStack(num_stages=self.relation_stages,

@@ -70,6 +70,8 @@ def main():
                         help="path to vid_groundtruth_motion_iou.mat "
                              "(reference vid_eval.py:144)")
     parser.add_argument("--seq-nms", action="store_true")
+    parser.add_argument("--profile-dir", default=None,
+                        help="write a jax.profiler trace of the run")
     parser.add_argument("--max-videos", type=int, default=None)
     parser.add_argument("--shard", type=int, default=0)
     parser.add_argument("--num-shards", type=int, default=1)
@@ -160,26 +162,28 @@ def main():
         variables = {"params": merged}
         logger.info(f"converted torch weights: {n} tensors copied")
 
-    if is_diffusion:
-        predictions, gt_list, results = run_inference(
-            model, variables, ds, sample_cfg,
-            sample_step=cfg.MODEL.DiffusionDet.SAMPLE_STEP,
-            mem_size=mega.MEMORY_MANAGEMENT_SIZE_TEST,
-            num_proposals=cfg.MODEL.DiffusionDet.NUM_PROPOSALS,
-            output_dir=output_dir, use_seq_nms=args.seq_nms,
-            motion_ious=motion_ious,
-            motion_specific=args.motion_specific, logger=logger,
-            shard=args.shard, num_shards=args.num_shards,
-            max_videos=args.max_videos,
-            stop_update_after_init=mega.GLOBAL.STOP_UPDATE_AFTER_INIT_TEST)
-    else:
-        predictions, gt_list, results = run_inference_video_arch(
-            model, variables, ds, sample_cfg, method=method,
-            key_frame_duration=cfg.MODEL.VID.DFF.KEY_FRAME_DURATION,
-            logger=logger, max_videos=args.max_videos,
-            output_dir=output_dir, use_seq_nms=args.seq_nms,
-            motion_ious=motion_ious, motion_specific=args.motion_specific,
-            shard=args.shard, num_shards=args.num_shards)
+    from diffusionvid_tpu.utils.profiling import trace
+    with trace(args.profile_dir):
+        if is_diffusion:
+            predictions, gt_list, results = run_inference(
+                model, variables, ds, sample_cfg,
+                sample_step=cfg.MODEL.DiffusionDet.SAMPLE_STEP,
+                mem_size=mega.MEMORY_MANAGEMENT_SIZE_TEST,
+                num_proposals=cfg.MODEL.DiffusionDet.NUM_PROPOSALS,
+                output_dir=output_dir, use_seq_nms=args.seq_nms,
+                motion_ious=motion_ious,
+                motion_specific=args.motion_specific, logger=logger,
+                shard=args.shard, num_shards=args.num_shards,
+                max_videos=args.max_videos,
+                stop_update_after_init=mega.GLOBAL.STOP_UPDATE_AFTER_INIT_TEST)
+        else:
+            predictions, gt_list, results = run_inference_video_arch(
+                model, variables, ds, sample_cfg, method=method,
+                key_frame_duration=cfg.MODEL.VID.DFF.KEY_FRAME_DURATION,
+                logger=logger, max_videos=args.max_videos,
+                output_dir=output_dir, use_seq_nms=args.seq_nms,
+                motion_ious=motion_ious, motion_specific=args.motion_specific,
+                shard=args.shard, num_shards=args.num_shards)
 
     if args.num_shards > 1:
         # cross-shard merge: evaluate only once all shards have written

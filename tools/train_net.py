@@ -30,6 +30,9 @@ def main():
                              "(class head re-initialized)")
     parser.add_argument("--no-prefetch", action="store_true",
                         help="disable the background sample prefetcher")
+    parser.add_argument("--profile-dir", default=None,
+                        help="write a jax.profiler trace of steps 10-15 "
+                             "here (view in TensorBoard/Perfetto)")
     parser.add_argument("opts", nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -217,9 +220,14 @@ def main():
     t_last = time.perf_counter()
 
     can_reuse = is_diffusion or (spec is not None and spec.num_global > 0)
+    from diffusionvid_tpu.utils.profiling import StepProfiler
+    prof = StepProfiler(args.profile_dir, start=start_iter + 10,
+                        stop=start_iter + 15)
+
     reuse_steps = max(1, int(sol.BATCH_REUSE_STEPS)) if can_reuse else 1
     samples = None
     for it in range(start_iter, sol.MAX_ITER):
+        prof.step(it)
         if samples is None or it % reuse_steps == 0:
             samples = next(batches)
         else:
@@ -278,6 +286,7 @@ def main():
                             jax.device_get(state.params),
                             jax.device_get(state.opt_state))
             logger.info(f"checkpoint @ {it + 1}")
+    prof.close()
 
 
 if __name__ == "__main__":

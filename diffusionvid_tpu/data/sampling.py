@@ -41,6 +41,8 @@ class SampleConfig:
     shuffle_global: bool = True
     color_jitter: bool = False  # INPUT.TRANSFORM → per-frame ColorJitter
                                 # (reference transforms/build.py:52)
+    decode_workers: int = 8     # DATALOADER.NUM_WORKERS analogue: threads
+                                # decoding frames ahead of the device
 
 
 def build_train_sample(ds: VIDDataset, idx: int, rng: np.random.RandomState,
@@ -305,21 +307,38 @@ def iter_test_videos(ds: VIDDataset, cfg: SampleConfig, seed: int = 0,
         rng = np.random.RandomState(seed + vi)
         perm = rng.permutation(seg_len) if cfg.shuffle_global else np.arange(seg_len)
         ginit = perm[: min(cfg.global_size, seg_len)]
-        gframes = np.stack([
-            transform_frame(ds.load_image(ds.frame_path(s, int(g))), scale,
-                            False, bucket) for g in ginit])
+        def load(i, s=s, scale=scale, bucket=bucket):
+            """Decode + resize + pad one frame, uint8 throughout (cv2
+            releases the GIL, so these parallelize across a thread pool;
+            the model normalizes on device)."""
+            img = ds.load_image(ds.frame_path(s, int(i)), dtype=np.uint8)
+            return transform_frame(img, scale, False, bucket)
 
-        def chunks(s=s, seg_len=seg_len, scale=scale, bucket=bucket):
+        # parallel decode: the reference hides this in NUM_WORKERS=16
+        # dataloader processes; a thread pool keeps decode ahead of the
+        # device (the single biggest end-to-end fps lever — serialized
+        # JPEG decode is tens of times slower than the TPU inference)
+        from .prefetch import prefetch_map
+        gframes = np.stack(list(prefetch_map(load, ginit,
+                                             workers=cfg.decode_workers)))
+
+        def chunks(seg_len=seg_len, load=load):
             f = cfg.infer_batch
-            for start in range(0, seg_len, f):
-                ids = list(range(start, min(start + f, seg_len)))
-                imgs = [transform_frame(ds.load_image(ds.frame_path(s, i)),
-                                        scale, False, bucket) for i in ids]
-                n_valid = len(ids)
+            frames_ahead = prefetch_map(load, range(seg_len),
+                                        workers=cfg.decode_workers,
+                                        depth=max(2 * f, 16))
+            imgs, ids = [], []
+            for i, img in enumerate(frames_ahead):
+                imgs.append(img)
+                ids.append(i)
+                if len(imgs) < f and i != seg_len - 1:
+                    continue
+                n_valid = len(imgs)
                 while len(imgs) < f:   # pad the tail chunk
                     imgs.append(imgs[-1])
                     ids.append(ids[-1])
                 yield np.stack(imgs), ids, n_valid
+                imgs, ids = [], []
 
         annos = [ds.get_groundtruth_for_frame(s, i) for i in range(seg_len)]
         yield VideoChunks(vi, seg_len, gframes, whwh, bucket, chunks(), annos)

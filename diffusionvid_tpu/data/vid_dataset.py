@@ -161,13 +161,16 @@ class VIDDataset:
         assert self.is_video
         return self._img_tmpl % (self.pattern[idx] % frame)
 
-    def load_image(self, path: str) -> np.ndarray:
-        """RGB float32 HWC in 0..255."""
+    def load_image(self, path: str, dtype=np.float32) -> np.ndarray:
+        """RGB HWC in 0..255.  ``dtype=np.uint8`` skips the float cast —
+        the streaming path resizes/pads/transfers uint8 (half the host
+        resize cost, a quarter of the H2D bytes) and normalizes on device."""
         import cv2
         img = cv2.imread(path, cv2.IMREAD_COLOR)
         if img is None:
             raise FileNotFoundError(path)
-        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        return img if dtype == np.uint8 else img.astype(dtype)
 
     def get_groundtruth(self, idx: int) -> FrameAnno:
         return self.annos[idx]

@@ -53,6 +53,17 @@ def run_inference_video_arch(model, variables, dataset, sample_cfg: SampleConfig
     predictions, gt_list = [], []
     tagged = []
 
+    # jit cache keyed by (kind, static shapes): un-jitted apply dispatches
+    # thousands of tiny eager ops per frame; windows at video edges give a
+    # handful of distinct ref counts, each compiled once
+    _jit_cache = {}
+
+    def jitted(kind, hw, *shapes, make):
+        key = (kind, hw, tuple(shapes))
+        if key not in _jit_cache:
+            _jit_cache[key] = jax.jit(make())
+        return _jit_cache[key]
+
     for n_vid, video in enumerate(iter_test_videos(dataset, sample_cfg,
                                                    seed=seed, shard=shard,
                                                    num_shards=num_shards)):
@@ -74,50 +85,90 @@ def run_inference_video_arch(model, variables, dataset, sample_cfg: SampleConfig
             state = model.init_state()
             for s in range(0, len(video.global_frames), 4):
                 g = jnp.asarray(video.global_frames[s: s + 4])
-                feats, valid = model.apply(
-                    variables, g, (h, w), method=type(model).memory_features)
-                state = model.apply(variables, state, feats, valid,
-                                    method=type(model).update_memory)
+                memfeat = jitted(
+                    "memfeat", (h, w), g.shape,
+                    make=lambda: lambda v, g: model.apply(
+                        v, g, (h, w), method=type(model).memory_features))
+                feats, valid = memfeat(variables, g)
+                upd = jitted(
+                    "memupd", (h, w), feats.shape,
+                    make=lambda: lambda v, st, f2, va: model.apply(
+                        v, st, f2, va, method=type(model).update_memory))
+                state = upd(variables, state, feats, valid)
         elif method == "dafa":
             state = model.init_state()
             g = jnp.asarray(video.global_frames[:4])
-            feats = model.apply(variables, g, jnp.asarray(whwh),
-                                method=type(model).extract_topk)
-            state = model.apply(variables, state, feats,
-                                method=type(model).update_memory)
+            topk = jitted(
+                "topk", (h, w), g.shape,
+                make=lambda: lambda v, g, ww: model.apply(
+                    v, g, ww, method=type(model).extract_topk))
+            feats = topk(variables, g, jnp.asarray(whwh))
+            upd = jitted(
+                "dafaupd", (h, w), feats.shape,
+                make=lambda: lambda v, st, f2: model.apply(
+                    v, st, f2, method=type(model).update_memory))
+            state = upd(variables, state, feats)
 
         video_preds = []
         key_feat = None
         for f in range(n):
             cur = jnp.asarray(frames[f: f + 1])
             if method == "base":
-                dets = model.apply(variables, cur, (h, w), train=False)
+                fn = jitted("base", (h, w), cur.shape,
+                            make=lambda: lambda v, c: model.apply(
+                                v, c, (h, w), train=False))
+                dets = fn(variables, cur)
             elif method == "dff":
                 if f % key_frame_duration == 0:
                     key = cur
-                    dets = model.apply(variables, key, cur, (h, w), is_key=True)
-                else:
-                    dets = model.apply(variables, key, cur, (h, w), is_key=False)
+                is_key = f % key_frame_duration == 0
+                fn = jitted(("dff", is_key), (h, w), cur.shape,
+                            make=lambda: lambda v, k2, c: model.apply(
+                                v, k2, c, (h, w), is_key=is_key))
+                dets = fn(variables, key, cur)
             elif method == "fgfa":
                 lo = max(0, f - fgfa_window)
                 hi = min(n, f + fgfa_window + 1)
                 refs = jnp.asarray(np.concatenate(
                     [frames[lo:hi], frames[f: f + 1]]))  # cur last
-                dets = model.apply(variables, cur, refs, (h, w))
+                fn = jitted("fgfa", (h, w), refs.shape,
+                            make=lambda: lambda v, c, r: model.apply(
+                                v, c, r, (h, w)))
+                dets = fn(variables, cur, refs)
             elif method in ("rdn", "mega"):
                 lo = max(0, f - 2)
                 hi = min(n, f + 3)
                 refs = jnp.asarray(frames[lo:hi])
                 if method == "rdn":
-                    dets = model.apply(variables, cur, refs, (h, w))
+                    fn = jitted("rdn", (h, w), refs.shape,
+                                make=lambda: lambda v, c, r: model.apply(
+                                    v, c, r, (h, w)))
+                    dets = fn(variables, cur, refs)
+                elif getattr(model, "use_stage_mem", False):
+                    # per-stage long-range memory: thread the updated
+                    # rings back (MEMORY.ENABLE configs)
+                    fn = jitted("mega_sm", (h, w), refs.shape,
+                                make=lambda: lambda v, c, r, st: model.apply(
+                                    v, c, r, (h, w), state=st,
+                                    return_state=True))
+                    dets, state = fn(variables, cur, refs, state)
                 else:
-                    dets = model.apply(variables, cur, refs, (h, w), state=state)
+                    fn = jitted("mega", (h, w), refs.shape,
+                                make=lambda: lambda v, c, r, st: model.apply(
+                                    v, c, r, (h, w), state=st))
+                    dets = fn(variables, cur, refs, state)
             elif method == "dafa":
-                logits, boxes = model.apply(variables, cur, jnp.asarray(whwh),
-                                            state=state)
                 from .postprocess import postprocess_frame
-                dets = jax.vmap(lambda lg, bx: postprocess_frame(
-                    lg, bx, (h, w), model.num_proposals))(logits[-1], boxes[-1])
+
+                def make_dafa():
+                    def run(v, c, ww, st):
+                        logits, boxes = model.apply(v, c, ww, state=st)
+                        return jax.vmap(lambda lg, bx: postprocess_frame(
+                            lg, bx, (h, w), model.num_proposals))(
+                            logits[-1], boxes[-1])
+                    return run
+                fn = jitted("dafa", (h, w), cur.shape, make=make_dafa)
+                dets = fn(variables, cur, jnp.asarray(whwh), state)
             else:
                 raise ValueError(method)
             video_preds.append(_to_numpy(dets, 0, scale))

@@ -75,8 +75,11 @@ def build_detection_model(cfg, dtype=None):
                        dtype=dt, **nms_kw)
     if method == "mega":
         from .video_archs import MEGAArch
+        mega = cfg.MODEL.VID.MEGA
         return MEGAArch(depth=depth, num_classes=ncls, res5_dilation=dil,
-                        memory_size=cfg.MODEL.VID.MEGA.MEMORY_MANAGEMENT_SIZE_TEST,
+                        memory_size=mega.MEMORY_MANAGEMENT_SIZE_TEST,
+                        use_stage_mem=mega.MEMORY.ENABLE,
+                        mem_frames=mega.MEMORY.SIZE,
                         dtype=dt, **nms_kw)
     if method == "dafa":
         from .dafa import SparseRCNNDAFA

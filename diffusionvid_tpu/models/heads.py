@@ -86,8 +86,10 @@ class MultiheadAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, query, key, value, key_mask=None):
-        """query [B, Lq, D]; key/value [B, Lk, D]; key_mask [B, Lk] bool."""
+    def __call__(self, query, key, value, key_mask=None, attn_mask=None):
+        """query [B, Lq, D]; key/value [B, Lk, D]; key_mask [B, Lk] bool;
+        attn_mask [B, Lq, Lk] bool (True = attend) for per-pair sparsity
+        (the sparse_attn block masks)."""
         d, h = self.d_model, self.num_heads
         dh = d // h
         w_in = self.param("in_proj_weight", nn.initializers.xavier_uniform(), (3 * d, d))
@@ -110,6 +112,9 @@ class MultiheadAttention(nn.Module):
         if key_mask is not None:
             neg = jnp.asarray(-1e9, logits.dtype)
             logits = jnp.where(key_mask[:, None, None, :], logits, neg)
+        if attn_mask is not None:
+            neg = jnp.asarray(-1e9, logits.dtype)
+            logits = jnp.where(attn_mask[:, None, :, :], logits, neg)
         attn = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, lq, d)

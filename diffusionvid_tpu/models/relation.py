@@ -62,17 +62,12 @@ class RelationAttention(nn.Module):
 
     @nn.compact
     def __call__(self, roi_feat, ref_feat, pos_emb, ref_valid=None):
-        """roi_feat [N, D]; ref_feat [M, D]; pos_emb [N, M, emb_dim];
-        ref_valid [M] optional mask.  Returns [N, D] attended features."""
+        """roi_feat [N, D]; ref_feat [M, D]; pos_emb [N, M, emb_dim] or
+        None (geometry-free — the reference's ver="global"/"global_p"
+        calls pass position_embedding=None); ref_valid [M] optional mask.
+        Returns [N, D] attended features."""
         d, g = self.feat_dim, self.groups
         dg = d // g
-
-        # geometric bias: 1×1 conv over the embedding → one weight per group
-        wg = self.param("Wg_weight", nn.initializers.normal(0.01),
-                        (g, self.emb_dim))
-        bg = self.param("Wg_bias", nn.initializers.zeros, (g,))
-        bias = nn.relu(jnp.einsum("nme,ge->nmg", pos_emb.astype(jnp.float32),
-                                  wg) + bg)                   # [N, M, G]
 
         q = Linear(d, use_bias=False, dtype=self.dtype, name="Wq")(roi_feat)
         k = Linear(d, use_bias=False, dtype=self.dtype, name="Wk")(ref_feat)
@@ -81,7 +76,18 @@ class RelationAttention(nn.Module):
         aff = jnp.einsum("ngd,mgd->nmg", q, k,
                          preferred_element_type=jnp.float32) / math.sqrt(dg)
 
-        logits = jnp.log(bias + 1e-6) + aff                   # [N, M, G]
+        if pos_emb is not None:
+            # geometric bias: 1×1 conv over the embedding → one weight
+            # per group
+            wg = self.param("Wg_weight", nn.initializers.normal(0.01),
+                            (g, self.emb_dim))
+            bg = self.param("Wg_bias", nn.initializers.zeros, (g,))
+            bias = nn.relu(jnp.einsum("nme,ge->nmg",
+                                      pos_emb.astype(jnp.float32), wg)
+                           + bg)                              # [N, M, G]
+            logits = jnp.log(bias + 1e-6) + aff               # [N, M, G]
+        else:
+            logits = aff
         if ref_valid is not None:
             logits = jnp.where(ref_valid[None, :, None], logits, -1e9)
         att = jax.nn.softmax(logits, axis=1)                  # over refs
@@ -117,36 +123,57 @@ class RelationStack(nn.Module):
 
     @nn.compact
     def __call__(self, feat, ref_feat, boxes, ref_boxes, ref_valid=None,
-                 extra_kv=None, extra_valid=None):
+                 extra_kv=None, extra_valid=None, stage_kv=None,
+                 stage_valid=None, return_stage_refs: bool = False):
         """feat [N,D] queries; ref_feat [M,D]; boxes/ref_boxes geometry;
         extra_kv [K,D] optional geometry-free memory keys appended to every
-        stage's reference set (MEGA's per-stage memory)."""
+        stage's reference set.
+
+        ``stage_kv`` [S,K2,D] / ``stage_valid`` [S,K2] (joint mode only)
+        is MEGA's PER-STAGE long-range memory: stage i additionally keys
+        on ring-buffer features captured at stage i of earlier frames
+        (update_memory/mem[i], roi_box_feature_extractors.py:1112-1140).
+        ``return_stage_refs=True`` also returns the stage-refined ref
+        features [S,M,D] so the caller can push them into those rings."""
         n = feat.shape[0]
         m = ref_feat.shape[0]
         if ref_valid is None:
             ref_valid = jnp.ones((m,), bool)
 
         all_boxes = jnp.concatenate([boxes, ref_boxes], 0)
+        n_extra = 0 if extra_kv is None else extra_kv.shape[0]
+        n_stage = 0 if stage_kv is None else stage_kv.shape[1]
         neutral = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0, 1.0]]),
-                           (0 if extra_kv is None else extra_kv.shape[0], 1))
+                           (n_extra + n_stage, 1))
         key_boxes = jnp.concatenate([ref_boxes, neutral], 0)
-        key_valid = (ref_valid if extra_kv is None
-                     else jnp.concatenate([ref_valid, extra_valid], 0))
+        key_valid = jnp.concatenate(
+            [ref_valid]
+            + ([extra_valid] if extra_kv is not None else [])
+            , 0)
 
         if self.joint:
             pos = position_embedding(position_matrix(all_boxes, key_boxes),
                                      self.emb_dim)
             x = jnp.concatenate([feat, ref_feat], 0)
+            stage_refs = []
             for i in range(self.num_stages):
                 x = nn.relu(Linear(self.feat_dim, dtype=self.dtype,
                                    name=f"fc{i}")(x))
-                keys = (x[n:] if extra_kv is None
-                        else jnp.concatenate([x[n:], extra_kv], 0))
+                keys = [x[n:]]
+                kv_valid = key_valid
+                if extra_kv is not None:
+                    keys.append(extra_kv)
+                if stage_kv is not None:
+                    keys.append(stage_kv[i])
+                    kv_valid = jnp.concatenate([kv_valid, stage_valid[i]], 0)
                 att = RelationAttention(self.feat_dim, self.groups,
                                         self.emb_dim, dtype=self.dtype,
-                                        name=f"attn{i}")(x, keys, pos,
-                                                         key_valid)
+                                        name=f"attn{i}")(
+                    x, jnp.concatenate(keys, 0), pos, kv_valid)
                 x = x + att
+                stage_refs.append(x[n:])
+            if return_stage_refs:
+                return x[:n], jnp.stack(stage_refs)
             return x[:n]
 
         pos = position_embedding(position_matrix(boxes, key_boxes),

@@ -303,10 +303,16 @@ class RDNArch(nn.Module):
 
 class MegaState(NamedTuple):
     """Streaming state for MEGA: FPS global memory of proposal features +
-    boxes count (the deque stack of generalized_rcnn_mega.py:446-605
-    collapsed into fixed-size buffers)."""
+    per-stage long-range-memory ring buffers (the deque stack of
+    generalized_rcnn_mega.py:446-605 and the per-stage ``mem_queue_list``
+    of roi_box_feature_extractors.py:1112-1140, as fixed-size arrays).
+
+    ``stage_feats`` [S, cap, D]: stage i keys on features that earlier
+    frames produced AT stage i; ``stage_count`` tracks the ring fill."""
 
     mem: FeatureMemory
+    stage_feats: Any = None     # [S, cap, D] or None (stage memory off)
+    stage_count: Any = None     # [S] int32
 
 
 class MEGAArch(RDNArch):
@@ -321,9 +327,25 @@ class MEGAArch(RDNArch):
 
     memory_size: int = 750
     joint: bool = True
+    # long-range per-stage memory (MEMORY.ENABLE / MEMORY.SIZE frames,
+    # 75 ref slots captured per frame per stage)
+    use_stage_mem: bool = False
+    mem_frames: int = 25
+    ref_slots: int = 75          # REF_POST_NMS_TOP_N per pushed frame
+
+    @property
+    def stage_mem_cap(self) -> int:
+        return self.mem_frames * self.ref_slots
 
     def init_state(self) -> MegaState:
-        return MegaState(init_memory(self.memory_size, self.feat_dim))
+        mem = init_memory(self.memory_size, self.feat_dim)
+        if not self.use_stage_mem:
+            return MegaState(mem)
+        s = self.relation_stages
+        return MegaState(
+            mem,
+            jnp.zeros((s, self.stage_mem_cap, self.feat_dim)),
+            jnp.zeros((s,), jnp.int32))
 
     def memory_features(self, images, image_hw):
         """Global frame → 75 ref proposals → pooled 1024-d features
@@ -338,7 +360,8 @@ class MEGAArch(RDNArch):
         count = valid.sum().astype(jnp.int32)
         # compact valid features to a prefix (order-preserving)
         order = jnp.argsort(~valid)        # valid first, stable
-        return MegaState(update_erase_memory(state.mem, feats[order], count))
+        return state._replace(
+            mem=update_erase_memory(state.mem, feats[order], count))
 
     def train_loss_mega(self, cur_images, local_images, mem_images,
                         global_images, image_hw, gt_boxes, gt_labels,
@@ -361,8 +384,27 @@ class MEGAArch(RDNArch):
                                gt_boxes, gt_labels, gt_valid,
                                extra_kv=extra_kv, extra_valid=extra_valid)
 
+    def _push_stage_mem(self, state: MegaState, stage_refs) -> MegaState:
+        """Ring-write the newest frame's 75 stage-i ref features into ring
+        i (update_memory push, roi_box_feature_extractors.py:1112-1125).
+        ``stage_refs`` [S, M, D]; the newest window frame's slots are the
+        LAST 75 of the ref stack."""
+        k = self.ref_slots
+        newest = stage_refs[:, -k:, :]                   # [S, k, D]
+        cap = self.stage_mem_cap
+
+        def write_one(ring, count, block):
+            pos = (count % cap)
+            idx = (pos + jnp.arange(k)) % cap
+            return ring.at[idx].set(block), count + k
+
+        rings, counts = jax.vmap(write_one)(
+            state.stage_feats, state.stage_count,
+            newest.astype(state.stage_feats.dtype))
+        return MegaState(state.mem, rings, counts)
+
     def __call__(self, cur_images, ref_images, image_hw,
-                 state: MegaState = None):
+                 state: MegaState = None, return_state: bool = False):
         all_images = jnp.concatenate([cur_images, ref_images], 0)
         feats = self.detector.features(all_images)
         cur_feat, ref_feat = feats[:1], feats[1:]
@@ -377,13 +419,30 @@ class MEGAArch(RDNArch):
         ref_valid = ref_props.valid.reshape(-1)
 
         extra_kv = extra_valid = None
+        stage_kv = stage_valid = None
         if state is not None:
             extra_kv = state.mem.feats
             extra_valid = jnp.arange(self.memory_size) < state.mem.count
+            if self.use_stage_mem and state.stage_feats is not None:
+                stage_kv = state.stage_feats
+                stage_valid = (jnp.arange(self.stage_mem_cap)[None, :]
+                               < jnp.minimum(state.stage_count,
+                                             self.stage_mem_cap)[:, None])
 
-        x = self.relation(cur_x, ref_x, props.boxes[0], ref_boxes, ref_valid,
-                          extra_kv=extra_kv, extra_valid=extra_valid)
+        out = self.relation(cur_x, ref_x, props.boxes[0], ref_boxes,
+                            ref_valid, extra_kv=extra_kv,
+                            extra_valid=extra_valid, stage_kv=stage_kv,
+                            stage_valid=stage_valid,
+                            return_stage_refs=stage_kv is not None)
+        if stage_kv is not None:
+            x, stage_refs = out
+            state = self._push_stage_mem(state, stage_refs)
+        else:
+            x = out
         cls_logits, box_deltas = self.predictor(x[None])
-        return jax.vmap(lambda cl, bd, pb, pv: postprocess_classic(
+        dets = jax.vmap(lambda cl, bd, pb, pv: postprocess_classic(
             cl, bd, pb, pv, image_hw))(cls_logits, box_deltas,
                                        props.boxes, props.valid)
+        if return_state:
+            return dets, state
+        return dets

@@ -232,3 +232,123 @@ def test_d2_body_renaming():
     assert "layer1.0.bn2.running_mean" in out
     assert "layer3.5.downsample_conv.weight" in out
     assert "layer3.5.downsample_bn.bias" in out
+
+
+def _reference_checkpoint_names(blocks=(3, 4, 6, 3), fpn_levels=(3, 4, 5),
+                                num_heads=1, num_heads_local=1,
+                                num_cls=1, num_reg=3):
+    """Enumerate the tensor names a released DiffusionVID checkpoint uses
+    (detectron2 module naming: backbone.bottom_up/stem/resN + fpn_lateral/
+    output, head.time_mlp/head_series/head_series_cond/global_attention —
+    see utils/torch_convert.py docstring and the reference box_head.py)."""
+    names = []
+    bn = ["weight", "norm.weight", "norm.bias", "norm.running_mean",
+          "norm.running_var"]
+    for leaf in bn:
+        names.append(f"backbone.bottom_up.stem.conv1.{leaf}")
+    for s, n in zip(range(2, 6), blocks):
+        for b in range(n):
+            for conv in ("conv1", "conv2", "conv3"):
+                for leaf in bn:
+                    names.append(f"backbone.bottom_up.res{s}.{b}.{conv}.{leaf}")
+            if b == 0:
+                for leaf in bn:
+                    names.append(f"backbone.bottom_up.res{s}.{b}.shortcut.{leaf}")
+    for l in fpn_levels:
+        for kind in ("lateral", "output"):
+            for leaf in ("weight", "bias"):
+                names.append(f"backbone.fpn_{kind}{l}.{leaf}")
+    for i in (1, 3):
+        for leaf in ("weight", "bias"):
+            names.append(f"head.time_mlp.{i}.{leaf}")
+
+    def rcnn_head(prefix, cond):
+        out = []
+        for leaf in ("in_proj_weight", "in_proj_bias"):
+            out.append(f"{prefix}.self_attn.{leaf}")
+        for leaf in ("weight", "bias"):
+            out.append(f"{prefix}.self_attn.out_proj.{leaf}")
+            for m in ("dynamic_layer", "norm1", "norm2", "norm3",
+                      "out_layer"):
+                out.append(f"{prefix}.inst_interact.{m}.{leaf}")
+            for m in ("linear1", "linear2", "norm1", "norm2", "norm3",
+                      "class_logits", "bboxes_delta"):
+                out.append(f"{prefix}.{m}.{leaf}")
+            out.append(f"{prefix}.block_time_mlp.1.{leaf}")
+            for j in range(num_cls):
+                # tower Linears are bias-free (nn.Linear(d, d, False),
+                # reference box_head.py:470,479); the LayerNorms have both
+                if leaf == "weight":
+                    out.append(f"{prefix}.cls_module.{3 * j}.weight")
+                out.append(f"{prefix}.cls_module.{3 * j + 1}.{leaf}")
+            for j in range(num_reg):
+                if leaf == "weight":
+                    out.append(f"{prefix}.reg_module.{3 * j}.weight")
+                out.append(f"{prefix}.reg_module.{3 * j + 1}.{leaf}")
+            if cond:
+                out.append(f"{prefix}.c_mlp.1.{leaf}")
+        return out
+
+    for i in range(num_heads):
+        names.extend(rcnn_head(f"head.head_series.{i}", cond=False))
+    for i in range(num_heads_local):
+        names.extend(rcnn_head(f"head.head_series_cond.{i}", cond=True))
+        for leaf in ("in_proj_weight", "in_proj_bias"):
+            names.append(f"head.global_attention.{i}.0.{leaf}")
+        for leaf in ("weight", "bias"):
+            names.append(f"head.global_attention.{i}.0.out_proj.{leaf}")
+    return names
+
+
+@pytest.mark.slow
+def test_full_flagship_checkpoint_coverage():
+    """Every tensor of a reference-shaped full-model state dict maps onto
+    our DiffusionDetArch tree, and every one of our parameters receives a
+    value — catching name-map or layout drift in either direction."""
+    from diffusionvid_tpu.models.diffusion_det import (
+        DiffusionDetArch, signal_to_boxes)
+    from diffusionvid_tpu.utils.torch_convert import convert_torch_state_dict
+
+    model = DiffusionDetArch(depth=50, num_classes=7, num_proposals=16,
+                             hidden_dim=256, num_heads=1, num_heads_local=1,
+                             compute_dtype=jnp.float32)
+    h, w, f = 64, 96, 1
+    whwh = jnp.asarray([w, h, w, h], jnp.float32)
+    boxes = signal_to_boxes(
+        jax.random.normal(jax.random.PRNGKey(0), (f, 16, 4)), whwh, 2.0)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "cfg": jax.random.PRNGKey(1)},
+        jnp.zeros((f, h, w, 3)), boxes, jnp.zeros((f,), jnp.int32),
+        num_global=1, train=False)
+    params = variables["params"]
+
+    names = _reference_checkpoint_names(num_heads=1, num_heads_local=1)
+    # learn the name -> tree path mapping with dummies, then re-run with
+    # the real shapes pulled from our tree
+    dummy = convert_torch_state_dict({n: np.zeros((1,)) for n in names})
+    assert "_unmatched" not in dummy["params"], dummy["params"]["_unmatched"]
+
+    flat_ours = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+
+    # rebuild with correct shapes: map each checkpoint name to its tree
+    # path (converting it alone), then pull the target shape from our tree
+    assert len(jax.tree_util.tree_flatten_with_path(dummy["params"])[0]) \
+        == len(names)
+    state = {}
+    dummy_single = {n: convert_torch_state_dict({n: np.zeros((1,))})
+                    for n in names}
+    for n in names:
+        paths = jax.tree_util.tree_flatten_with_path(
+            dummy_single[n]["params"])[0]
+        assert len(paths) == 1, (n, paths)
+        path = paths[0][0]
+        assert path in flat_ours, (n, path)
+        state[n] = np.asarray(jax.random.normal(
+            jax.random.PRNGKey(hash(n) % (2 ** 31)),
+            np.shape(flat_ours[path])))
+
+    conv = convert_torch_state_dict(state)
+    assert "_unmatched" not in conv["params"]
+    merged, n_copied = merge_pretrained(params, conv["params"], skip_keys=())
+    n_leaves = len(jax.tree_util.tree_leaves(params))
+    assert n_copied == n_leaves, f"copied {n_copied}/{n_leaves}"

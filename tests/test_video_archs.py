@@ -120,3 +120,34 @@ def test_mega_arch_with_memory(imgs):
 
     dets = model.apply(variables, cur, refs, (H, W), state=state)
     assert np.isfinite(np.asarray(dets.boxes)).all()
+
+
+def test_mega_arch_stage_memory(imgs):
+    """Per-stage long-range memory rings (update_memory/mem[i],
+    roi_box_feature_extractors.py:1112-1140): rings fill frame by frame
+    and feed stage-specific attention keys."""
+    from diffusionvid_tpu.models.video_archs import MEGAArch
+    model = MEGAArch(depth=50, num_classes=6, memory_size=32,
+                     use_stage_mem=True, mem_frames=3)
+    cur, refs = imgs[:1], imgs[1:]
+    variables = _mk(model, cur, refs, (H, W))
+
+    state = model.init_state()
+    assert state.stage_feats.shape == (model.relation_stages,
+                                       3 * model.ref_slots, model.feat_dim)
+    feats, valid = model.apply(variables, imgs, (H, W),
+                               method=MEGAArch.memory_features)
+    state = model.apply(variables, state, feats, valid,
+                        method=MEGAArch.update_memory)
+
+    dets, state = model.apply(variables, cur, refs, (H, W), state=state,
+                              return_state=True)
+    assert np.isfinite(np.asarray(dets.boxes)).all()
+    assert (np.asarray(state.stage_count) == model.ref_slots).all()
+    # second frame: rings advance, detection still clean
+    dets2, state = model.apply(variables, cur, refs, (H, W), state=state,
+                               return_state=True)
+    assert (np.asarray(state.stage_count) == 2 * model.ref_slots).all()
+    assert np.isfinite(np.asarray(dets2.boxes)).all()
+    # stage memory contains data (ring slots written)
+    assert float(np.abs(np.asarray(state.stage_feats)).sum()) > 0

@@ -45,3 +45,34 @@ def test_kernel_matches_gather_interpreted():
         got = multilevel_roi_align_mxu(feats, boxes, scales, roi_block=25)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_kernel_windowed_ypass_matches_gather_interpreted():
+    """Maps wider than the x-window (W3=96 > 64) exercise the narrow
+    window branches; wide-aspect boxes take the full-row fallback."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.RandomState(1)
+    f, p_, d = 1, 50, 256
+    feats = [jnp.asarray(rng.randn(f, 64, 96, d).astype(np.float32)),
+             jnp.asarray(rng.randn(f, 32, 48, d).astype(np.float32)),
+             jnp.asarray(rng.randn(f, 16, 24, d).astype(np.float32))]
+    scales = (1 / 8, 1 / 16, 1 / 32)
+    # mix: small boxes (narrow windows), huge-aspect boxes (span > 55 at
+    # p3 -> full-row fallback), boxes at the right edge (xb clipping)
+    boxes = rng.uniform(0, 400, (f, p_, 4)).astype(np.float32)
+    boxes[..., 2:] = boxes[..., :2] + rng.uniform(8, 80, (f, p_, 2))
+    boxes[0, :5, 0] = 0.0
+    boxes[0, :5, 2] = 700.0          # span ~87 cols at p3 -> fallback
+    boxes[0, :5, 1] = 100.0
+    boxes[0, :5, 3] = 120.0
+    boxes[0, 5:8, 0] = 650.0         # right edge -> window base clipped
+    boxes[0, 5:8, 2] = 760.0
+    boxes = jnp.asarray(boxes)
+
+    ref = multilevel_roi_align(feats, boxes, scales)
+    with pltpu.force_tpu_interpret_mode():
+        got = multilevel_roi_align_mxu(feats, boxes, scales, roi_block=25)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)

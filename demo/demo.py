@@ -92,10 +92,7 @@ def main():
     from diffusionvid_tpu.models.detectors import build_detection_model
     model = build_detection_model(cfg)
     if not isinstance(model, DiffusionDetArch):
-        raise SystemExit(
-            "demo/demo.py drives the streaming DiffusionVID path; for the "
-            "classic/MEGA-family methods run tools/test_net.py on a frame "
-            "folder dataset instead")
+        return demo_classic(cfg, model, args, logger)
     f = cfg.INPUT.INFER_BATCH
 
     frames_bgr, names = read_frames(args.visualize_path)
@@ -161,6 +158,117 @@ def main():
                 cv2.imwrite(os.path.join(args.output_folder,
                                          names[start + i]), vis)
         logger.info(f"processed {start + n_valid}/{len(frames_bgr)}")
+    if writer is not None:
+        writer.release()
+    logger.info(f"output written to {args.output_folder}")
+
+
+def demo_classic(cfg, model, args, logger):
+    """Classic/MEGA-family demo path: per-frame detection with a local ref
+    window, mirroring the dispatched test loop (engine/inference_mega.py) —
+    the reference VIDDemo supports the same methods via cfg."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffusionvid_tpu.data.transforms import (
+        frame_bucket, resize_scale, transform_frame)
+    from diffusionvid_tpu.utils import load_checkpoint
+
+    method = cfg.MODEL.VID.METHOD if cfg.MODEL.VID.ENABLE else "base"
+    frames_bgr, names = read_frames(args.visualize_path)
+    assert frames_bgr, f"no frames at {args.visualize_path}"
+    h0, w0 = frames_bgr[0].shape[:2]
+    scale = resize_scale(h0, w0, cfg.INPUT.MIN_SIZE_TEST,
+                         cfg.INPUT.MAX_SIZE_TEST)
+    bucket = frame_bucket(h0, w0, cfg.INPUT.MIN_SIZE_TEST,
+                          cfg.INPUT.MAX_SIZE_TEST)
+    rh, rw = int(round(h0 * scale)), int(round(w0 * scale))
+    hw = (rh, rw)     # true resized extent (boxes clip here, not the pad)
+
+    def prep(img_bgr):
+        rgb = cv2.cvtColor(img_bgr, cv2.COLOR_BGR2RGB).astype(np.float32)
+        return transform_frame(rgb, scale, False, bucket)
+
+    frames = np.stack([prep(c) for c in frames_bgr])
+    n = len(frames)
+    cur0 = jnp.zeros((1, *bucket, 3))
+    refs0 = jnp.zeros((2, *bucket, 3))
+    if method == "base":
+        variables = model.init(jax.random.PRNGKey(0), cur0, hw)
+    elif method == "dff":
+        variables = model.init(jax.random.PRNGKey(0), cur0, cur0, hw,
+                               is_key=False)
+    elif method in ("rdn", "fgfa"):
+        variables = model.init(jax.random.PRNGKey(0), cur0, refs0, hw)
+    elif method == "mega":
+        variables = model.init(jax.random.PRNGKey(0), cur0, refs0, hw,
+                               state=model.init_state())
+    else:
+        raise SystemExit(f"demo does not drive method {method}")
+    if args.checkpoint:
+        variables = {"params": load_checkpoint(args.checkpoint)["params"]}
+        logger.info(f"loaded {args.checkpoint}")
+
+    state = model.init_state() if method == "mega" else None
+    _cache = {}
+
+    def jitted(key, make):
+        if key not in _cache:
+            _cache[key] = jax.jit(make())
+        return _cache[key]
+
+    os.makedirs(args.output_folder, exist_ok=True)
+    writer = None
+    key = None
+    for fidx in range(n):
+        cur = jnp.asarray(frames[fidx: fidx + 1])
+        if method == "base":
+            fn = jitted("base", lambda: lambda v, c: model.apply(
+                v, c, hw, train=False))
+            dets = fn(variables, cur)
+        elif method == "dff":
+            if fidx % cfg.MODEL.VID.DFF.KEY_FRAME_DURATION == 0:
+                key = cur
+            is_key = fidx % cfg.MODEL.VID.DFF.KEY_FRAME_DURATION == 0
+            fn = jitted(("dff", is_key), lambda: lambda v, k, c: model.apply(
+                v, k, c, hw, is_key=is_key))
+            dets = fn(variables, key, cur)
+        else:
+            lo = max(0, fidx - 2)
+            hi = min(n, fidx + 3)
+            refs = jnp.asarray(
+                np.concatenate([frames[lo:hi], frames[fidx: fidx + 1]])
+                if method == "fgfa" else frames[lo:hi])
+            if method == "mega":
+                fn = jitted(("mega", refs.shape),
+                            lambda: lambda v, c, r, st: model.apply(
+                                v, c, r, hw, state=st))
+                dets = fn(variables, cur, refs, state)
+            else:
+                fn = jitted((method, refs.shape),
+                            lambda: lambda v, c, r: model.apply(
+                                v, c, r, hw))
+                dets = fn(variables, cur, refs)
+
+        keep = np.asarray(dets.valid[0]) & (np.asarray(dets.scores[0])
+                                            > args.score_thresh)
+        boxes = np.asarray(dets.boxes[0])[keep] / scale
+        scores = np.asarray(dets.scores[0])[keep]
+        labels = np.asarray(dets.labels[0])[keep]
+        vis = overlay_boxes(frames_bgr[fidx], boxes, scores, labels,
+                            args.score_thresh)
+        if args.output_video:
+            if writer is None:
+                path = os.path.join(args.output_folder, "demo.avi")
+                writer = cv2.VideoWriter(
+                    path, cv2.VideoWriter_fourcc(*"MJPG"), 25, (w0, h0))
+            writer.write(vis)
+        else:
+            cv2.imwrite(os.path.join(args.output_folder, names[fidx]), vis)
+        if (fidx + 1) % 10 == 0:
+            logger.info(f"[{method}] processed {fidx + 1}/{n}")
     if writer is not None:
         writer.release()
     logger.info(f"output written to {args.output_folder}")

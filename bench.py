@@ -20,6 +20,11 @@ import os
 import tempfile
 import time
 
+# persistent XLA compilation cache: the five benched programs cost
+# ~40-60 min of cold compiles on this host; cached reruns start in seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -113,3 +113,26 @@ def test_streaming_plain_diffusiondet():
     state = det.init_state(jax.random.PRNGKey(0))
     state, dets = det.process_chunk(state, frames, whwh)
     assert np.isfinite(np.asarray(dets.boxes)).all()
+
+
+def test_streaming_accepts_uint8_frames(model_params):
+    """The input pipeline now ships uint8 frames (decode->pad->transfer all
+    uint8, normalize on device); detections must match the float32 path."""
+    model, variables = model_params
+    det = _det(model, variables)
+    whwh = jnp.asarray([W, H, W, H], jnp.float32)
+    rng = np.random.RandomState(0)
+    frames_u8 = rng.randint(0, 255, (2, H, W, 3)).astype(np.uint8)
+    g_u8 = rng.randint(0, 255, (3, H, W, 3)).astype(np.uint8)
+
+    s1 = det.start_video(jax.random.PRNGKey(1), jnp.asarray(g_u8), whwh)
+    _, d_u8 = det.process_chunk(s1, jnp.asarray(frames_u8), whwh)
+
+    s2 = det.start_video(jax.random.PRNGKey(1),
+                         jnp.asarray(g_u8, jnp.float32), whwh)
+    _, d_f32 = det.process_chunk(s2, jnp.asarray(frames_u8, jnp.float32),
+                                 whwh)
+    np.testing.assert_allclose(np.asarray(d_u8.boxes),
+                               np.asarray(d_f32.boxes), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(d_u8.scores),
+                               np.asarray(d_f32.scores), atol=1e-4)

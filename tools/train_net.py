@@ -177,6 +177,17 @@ def main():
 
     mesh = make_mesh(cfg.TPU.MESH_DP if cfg.TPU.MESH_DP > 1 else None)
     n_dp = mesh.devices.size
+    # effective global batch (reference: IMS_PER_BATCH(=1/gpu) × n_gpu ×
+    # ACCUMULATION_STEPS × BATCH_REUSE_STEPS, SURVEY.md §2.3) — here one
+    # sample per mesh device per step
+    eff = n_dp * max(1, sol.ACCUMULATION_STEPS)
+    logger.info(f"data-parallel devices: {n_dp}; effective batch/optim "
+                f"step: {eff} samples (SOLVER.IMS_PER_BATCH={sol.IMS_PER_BATCH})")
+    if sol.IMS_PER_BATCH > eff:
+        logger.warning(
+            f"IMS_PER_BATCH={sol.IMS_PER_BATCH} exceeds devices×accumulation"
+            f"={eff}; raise SOLVER.ACCUMULATION_STEPS or TPU.MESH_DP to "
+            f"match the reference schedule")
     if is_diffusion:
         base_step = make_train_step(model, tx, num_global)
     else:
@@ -259,10 +270,9 @@ def main():
             writer.write(it + 1, sec_per_iter=dt,
                          **{f"Train/{k}": v for k, v in vals.items()})
         if (sol.TEST_PERIOD and (it + 1) % sol.TEST_PERIOD == 0
-                and cfg.DATASETS.TEST and is_diffusion):
+                and cfg.DATASETS.TEST):
             # periodic validation (engine/trainer.py:187-207 semantics)
             try:
-                from diffusionvid_tpu.engine.inference import run_inference
                 val_ds = get_dataset(cfg.DATASETS.TEST[0], is_train=False,
                                      data_dir=args.data_dir)
                 val_cfg = SampleConfig(
@@ -271,12 +281,22 @@ def main():
                     max_size=cfg.INPUT.MAX_SIZE_TEST,
                     global_size=mega.GLOBAL.SIZE,
                     infer_batch=cfg.INPUT.INFER_BATCH)
-                _, _, results = run_inference(
-                    model, {"params": jax.device_get(state.params)}, val_ds,
-                    val_cfg, sample_step=cfg.MODEL.DiffusionDet.SAMPLE_STEP,
-                    mem_size=mega.MEMORY_MANAGEMENT_SIZE_TEST,
-                    num_proposals=cfg.MODEL.DiffusionDet.NUM_PROPOSALS,
-                    max_videos=20, logger=logger)
+                val_params = {"params": jax.device_get(state.params)}
+                if is_diffusion:
+                    from diffusionvid_tpu.engine.inference import run_inference
+                    _, _, results = run_inference(
+                        model, val_params, val_ds,
+                        val_cfg, sample_step=cfg.MODEL.DiffusionDet.SAMPLE_STEP,
+                        mem_size=mega.MEMORY_MANAGEMENT_SIZE_TEST,
+                        num_proposals=cfg.MODEL.DiffusionDet.NUM_PROPOSALS,
+                        max_videos=20, logger=logger)
+                else:
+                    from diffusionvid_tpu.engine.inference_mega import (
+                        run_inference_video_arch)
+                    _, _, results = run_inference_video_arch(
+                        model, val_params, val_ds, val_cfg, method=method,
+                        key_frame_duration=cfg.MODEL.VID.DFF.KEY_FRAME_DURATION,
+                        max_videos=5, logger=logger)
                 if results:
                     writer.write(it + 1, **{"Val/mAP": results["ap50"]})
             except Exception as e:

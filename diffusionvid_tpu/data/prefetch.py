@@ -28,6 +28,7 @@ class PrefetchIterator:
         import os
 
         self._passthrough = (os.cpu_count() or 1) <= 1
+        self._closed = False
         if self._passthrough:
             self._it = iter(iterator)
             return
@@ -40,11 +41,35 @@ class PrefetchIterator:
     def _fill(self, iterator):
         try:
             for item in iterator:
-                self._q.put(item)
+                # bounded put with a shutdown check: an abandoned consumer
+                # (e.g. run_inference breaking at max_videos) must not
+                # leave this thread blocked holding decoded frames forever
+                while not self._closed:
+                    try:
+                        self._q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if self._closed:
+                    return
         except BaseException as e:  # propagate into the consumer
             self._err = e
         finally:
-            self._q.put(self._END)
+            try:
+                self._q.put_nowait(self._END)
+            except queue.Full:
+                pass
+
+    def close(self):
+        """Stop the producer and release its buffers (idempotent)."""
+        self._closed = True
+        if not self._passthrough:
+            # drain so a producer blocked in put() can observe _closed
+            try:
+                while True:
+                    self._q.get_nowait()
+            except queue.Empty:
+                pass
 
     def __iter__(self):
         return self

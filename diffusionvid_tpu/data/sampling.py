@@ -47,60 +47,12 @@ class SampleConfig:
 
 def build_train_sample(ds: VIDDataset, idx: int, rng: np.random.RandomState,
                        cfg: SampleConfig):
-    """One training sample: dict of images [B,H,W,3] (B = 1 + num_global),
-    padded GT arrays, whwh.  All frames share the cur frame's resize scale,
-    flip decision, and padding bucket (transforms.py:61-87)."""
-    anno = ds.get_groundtruth(idx)
-    # multi-scale training: MIN_SIZE_TRAIN may be a tuple (transforms.py
-    # Resize random choice); the padding bucket uses the LARGEST min size
-    # so every scale fits the same static shape
-    min_sizes = (cfg.min_size if isinstance(cfg.min_size, (tuple, list))
-                 else (cfg.min_size,))
-    min_size = int(min_sizes[rng.randint(len(min_sizes))])
-    scale = resize_scale(anno.height, anno.width, min_size, cfg.max_size)
-    flip = bool(rng.rand() < cfg.hflip_prob)
-    bucket = frame_bucket(anno.height, anno.width, max(min_sizes),
-                          cfg.max_size)
-
-    frames: List[np.ndarray] = []
-    gts = []
-
-    def jitter(im):
-        if not cfg.color_jitter:
-            return im
-        return color_jitter(np.asarray(im, np.uint8), rng).astype(im.dtype)
-
-    img = ds.load_image(ds.image_path(idx))
-    frames.append(transform_frame(jitter(img), scale, flip, bucket))
-    gts.append(pad_groundtruth(anno, cfg.max_gt, scale, flip))
-
-    if ds.is_video:
-        seg_len = ds.frame_seg_len[idx]
-        replace = seg_len < cfg.num_global
-        ref_ids = rng.choice(seg_len, cfg.num_global, replace=replace)
-        for rid in ref_ids:
-            ranno = ds.get_groundtruth_for_frame(idx, int(rid))
-            rimg = ds.load_image(ds.frame_path(idx, int(rid)))
-            frames.append(transform_frame(jitter(rimg), scale, flip, bucket))
-            gts.append(pad_groundtruth(ranno, cfg.max_gt, scale, flip))
-    else:
-        # DET stills: replicate cur as the global refs (vid_mega.py:96-103
-        # uses one copy; we tile to keep the batch shape static).
-        for _ in range(cfg.num_global):
-            frames.append(frames[0])
-            gts.append(gts[0])
-
-    boxes = np.stack([g[0] for g in gts])
-    labels = np.stack([g[1] for g in gts])
-    valid = np.stack([g[2] for g in gts])
-    rh = int(round(anno.height * scale))
-    rw = int(round(anno.width * scale))
-    whwh = np.asarray([rw, rh, rw, rh], np.float32)
-    return {
-        "images": np.stack(frames),
-        "gt_boxes": boxes, "gt_labels": labels, "gt_valid": valid,
-        "whwh": whwh, "bucket": tuple(frames[0].shape[:2]),
-    }
+    """One flagship training sample: dict of images [B,H,W,3]
+    (B = 1 + num_global global refs, each with its own GT — the
+    VIDMEGADataset diffusion path, vid_mega.py:76-103).  Thin spec over the
+    general per-method builder."""
+    spec = MethodSampleSpec("diffusion", num_global=cfg.num_global)
+    return build_train_sample_method(ds, idx, rng, cfg, spec)
 
 
 @dataclass

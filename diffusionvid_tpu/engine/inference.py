@@ -89,6 +89,7 @@ def run_inference(model, params, dataset: VIDDataset, sample_cfg: SampleConfig,
                          num_shards=num_shards), depth=1)
     for n_vid, video in enumerate(videos):
         if max_videos is not None and n_vid >= max_videos:
+            videos.close()   # release the producer thread + its buffers
             break
         rng, r_video = jax.random.split(rng)
         whwh = video.whwh

@@ -55,11 +55,14 @@ def run_inference_video_arch(model, variables, dataset, sample_cfg: SampleConfig
 
     # jit cache keyed by (kind, static shapes): un-jitted apply dispatches
     # thousands of tiny eager ops per frame; windows at video edges give a
-    # handful of distinct ref counts, each compiled once
+    # handful of distinct ref counts, each compiled once.  The per-video
+    # true extents ride along as a TRACED [2] array — frames are padded to
+    # one of two static buckets, so baking (h, w) in as constants would
+    # recompile the whole model for every distinct video resolution.
     _jit_cache = {}
 
-    def jitted(kind, hw, *shapes, make):
-        key = (kind, hw, tuple(shapes))
+    def jitted(kind, *shapes, make):
+        key = (kind, tuple(shapes))
         if key not in _jit_cache:
             _jit_cache[key] = jax.jit(make())
         return _jit_cache[key]
@@ -71,6 +74,7 @@ def run_inference_video_arch(model, variables, dataset, sample_cfg: SampleConfig
             break
         whwh = video.whwh
         h, w = int(whwh[1]), int(whwh[0])
+        hw = jnp.asarray([h, w], jnp.float32)   # traced per-video extents
         scale = float(whwh[0]) / float(video.frame_annos[0].width)
 
         frames = []
@@ -86,12 +90,13 @@ def run_inference_video_arch(model, variables, dataset, sample_cfg: SampleConfig
             for s in range(0, len(video.global_frames), 4):
                 g = jnp.asarray(video.global_frames[s: s + 4])
                 memfeat = jitted(
-                    "memfeat", (h, w), g.shape,
-                    make=lambda: lambda v, g: model.apply(
-                        v, g, (h, w), method=type(model).memory_features))
-                feats, valid = memfeat(variables, g)
+                    "memfeat", g.shape,
+                    make=lambda: lambda v, g, e: model.apply(
+                        v, g, (e[0], e[1]),
+                        method=type(model).memory_features))
+                feats, valid = memfeat(variables, g, hw)
                 upd = jitted(
-                    "memupd", (h, w), feats.shape,
+                    "memupd", feats.shape,
                     make=lambda: lambda v, st, f2, va: model.apply(
                         v, st, f2, va, method=type(model).update_memory))
                 state = upd(variables, state, feats, valid)
@@ -99,12 +104,12 @@ def run_inference_video_arch(model, variables, dataset, sample_cfg: SampleConfig
             state = model.init_state()
             g = jnp.asarray(video.global_frames[:4])
             topk = jitted(
-                "topk", (h, w), g.shape,
+                "topk", g.shape,
                 make=lambda: lambda v, g, ww: model.apply(
                     v, g, ww, method=type(model).extract_topk))
             feats = topk(variables, g, jnp.asarray(whwh))
             upd = jitted(
-                "dafaupd", (h, w), feats.shape,
+                "dafaupd", feats.shape,
                 make=lambda: lambda v, st, f2: model.apply(
                     v, st, f2, method=type(model).update_memory))
             state = upd(variables, state, feats)
@@ -114,61 +119,61 @@ def run_inference_video_arch(model, variables, dataset, sample_cfg: SampleConfig
         for f in range(n):
             cur = jnp.asarray(frames[f: f + 1])
             if method == "base":
-                fn = jitted("base", (h, w), cur.shape,
-                            make=lambda: lambda v, c: model.apply(
-                                v, c, (h, w), train=False))
-                dets = fn(variables, cur)
+                fn = jitted("base", cur.shape,
+                            make=lambda: lambda v, c, e: model.apply(
+                                v, c, (e[0], e[1]), train=False))
+                dets = fn(variables, cur, hw)
             elif method == "dff":
                 if f % key_frame_duration == 0:
                     key = cur
                 is_key = f % key_frame_duration == 0
-                fn = jitted(("dff", is_key), (h, w), cur.shape,
-                            make=lambda: lambda v, k2, c: model.apply(
-                                v, k2, c, (h, w), is_key=is_key))
-                dets = fn(variables, key, cur)
+                fn = jitted(("dff", is_key), cur.shape,
+                            make=lambda: lambda v, k2, c, e: model.apply(
+                                v, k2, c, (e[0], e[1]), is_key=is_key))
+                dets = fn(variables, key, cur, hw)
             elif method == "fgfa":
                 lo = max(0, f - fgfa_window)
                 hi = min(n, f + fgfa_window + 1)
                 refs = jnp.asarray(np.concatenate(
                     [frames[lo:hi], frames[f: f + 1]]))  # cur last
-                fn = jitted("fgfa", (h, w), refs.shape,
-                            make=lambda: lambda v, c, r: model.apply(
-                                v, c, r, (h, w)))
-                dets = fn(variables, cur, refs)
+                fn = jitted("fgfa", refs.shape,
+                            make=lambda: lambda v, c, r, e: model.apply(
+                                v, c, r, (e[0], e[1])))
+                dets = fn(variables, cur, refs, hw)
             elif method in ("rdn", "mega"):
                 lo = max(0, f - 2)
                 hi = min(n, f + 3)
                 refs = jnp.asarray(frames[lo:hi])
                 if method == "rdn":
-                    fn = jitted("rdn", (h, w), refs.shape,
-                                make=lambda: lambda v, c, r: model.apply(
-                                    v, c, r, (h, w)))
-                    dets = fn(variables, cur, refs)
+                    fn = jitted("rdn", refs.shape,
+                                make=lambda: lambda v, c, r, e: model.apply(
+                                    v, c, r, (e[0], e[1])))
+                    dets = fn(variables, cur, refs, hw)
                 elif getattr(model, "use_stage_mem", False):
                     # per-stage long-range memory: thread the updated
                     # rings back (MEMORY.ENABLE configs)
-                    fn = jitted("mega_sm", (h, w), refs.shape,
-                                make=lambda: lambda v, c, r, st: model.apply(
-                                    v, c, r, (h, w), state=st,
+                    fn = jitted("mega_sm", refs.shape,
+                                make=lambda: lambda v, c, r, st, e: model.apply(
+                                    v, c, r, (e[0], e[1]), state=st,
                                     return_state=True))
-                    dets, state = fn(variables, cur, refs, state)
+                    dets, state = fn(variables, cur, refs, state, hw)
                 else:
-                    fn = jitted("mega", (h, w), refs.shape,
-                                make=lambda: lambda v, c, r, st: model.apply(
-                                    v, c, r, (h, w), state=st))
-                    dets = fn(variables, cur, refs, state)
+                    fn = jitted("mega", refs.shape,
+                                make=lambda: lambda v, c, r, st, e: model.apply(
+                                    v, c, r, (e[0], e[1]), state=st))
+                    dets = fn(variables, cur, refs, state, hw)
             elif method == "dafa":
                 from .postprocess import postprocess_frame
 
                 def make_dafa():
-                    def run(v, c, ww, st):
+                    def run(v, c, ww, st, e):
                         logits, boxes = model.apply(v, c, ww, state=st)
                         return jax.vmap(lambda lg, bx: postprocess_frame(
-                            lg, bx, (h, w), model.num_proposals))(
+                            lg, bx, (e[0], e[1]), model.num_proposals))(
                             logits[-1], boxes[-1])
                     return run
-                fn = jitted("dafa", (h, w), cur.shape, make=make_dafa)
-                dets = fn(variables, cur, jnp.asarray(whwh), state)
+                fn = jitted("dafa", cur.shape, make=make_dafa)
+                dets = fn(variables, cur, jnp.asarray(whwh), state, hw)
             else:
                 raise ValueError(method)
             video_preds.append(_to_numpy(dets, 0, scale))

@@ -152,9 +152,13 @@ def postprocess_classic(class_logits, box_deltas, proposals, prop_valid,
     cand_labels = (jnp.tile(jnp.arange(1, k1)[None], (r, 1))).reshape(-1)
     ok = (cand_scores > score_thresh) & jnp.repeat(prop_valid, fg)
 
-    # class-offset trick so NMS never crosses classes
+    # class-offset trick so NMS never crosses classes (jnp.maximum: the
+    # extents may be traced values — per-video sizes must not force
+    # recompiles)
     h, w = image_hw
-    offs = cand_labels.astype(jnp.float32)[:, None] * (max(h, w) + 1.0)
+    offs = (cand_labels.astype(jnp.float32)[:, None]
+            * (jnp.maximum(jnp.asarray(h, jnp.float32),
+                           jnp.asarray(w, jnp.float32)) + 1.0))
     idx, val = nms_select(cand_boxes + offs, cand_scores, detections,
                           nms_thresh, valid=ok, plus_one=True)
     return BoxArray(cand_boxes[idx], cand_scores[idx],

@@ -44,6 +44,10 @@ class SparseRCNNDAFA(nn.Module):
     num_stages: int = 6
     top_k: int = 75
     memory_size: int = 750
+    # GLOBAL.RES_STAGE: how many trailing decoder stages aggregate over the
+    # temporal memory (DAFA-G sets 2 — the reference's two-stage global
+    # attention, roi_box_feature_extractors.py update_lm res_stage==2 path)
+    res_stage: int = 1
     fpn_in: Sequence[str] = ("res3", "res4", "res5")
     head_levels: Sequence[str] = ("p3", "p4", "p5")
     pixel_mean: Sequence[float] = (123.675, 116.280, 103.530)
@@ -147,9 +151,11 @@ class SparseRCNNDAFA(nn.Module):
         boxes, pro = self._learned_proposals(b, whwh)
 
         inter_logits, inter_boxes = [], []
+        first_agg = self.num_stages - max(1, self.res_stage)
         for si, head in enumerate(self.heads):
-            if state is not None and si == self.num_stages - 1:
-                # aggregate over the temporal memory before the last stage
+            if state is not None and si >= first_agg:
+                # aggregate over the temporal memory before each of the
+                # last RES_STAGE stages (DAFA-G: two aggregation stages)
                 mem_mask = jnp.arange(self.memory_size) < state.mem.count
                 q = pro.reshape(1, -1, self.hidden_dim)
                 kv = state.mem.feats[None].astype(q.dtype)

@@ -83,8 +83,11 @@ def build_detection_model(cfg, dtype=None):
                         dtype=dt, **nms_kw)
     if method == "dafa":
         from .dafa import SparseRCNNDAFA
+        mega = cfg.MODEL.VID.MEGA
         return SparseRCNNDAFA(depth=depth,
                               num_classes=cfg.MODEL.DiffusionDet.NUM_CLASSES,
                               num_proposals=cfg.MODEL.DiffusionDet.NUM_PROPOSALS,
+                              memory_size=mega.MEMORY_MANAGEMENT_SIZE_TEST,
+                              res_stage=mega.GLOBAL.RES_STAGE,
                               dtype=dt)
     raise ValueError(f"unknown META_ARCHITECTURE={arch} / VID.METHOD={method}")

@@ -357,7 +357,6 @@ class DynamicHead(nn.Module):
                 # training parity: both stages key on the same global set
                 # (box_head.py:336 global_kv_ = [global_kv1_, global_kv1_])
                 memory_dis, memory_dis_mask = memory, memory_mask
-            m2 = memory_dis.shape[0]
             q_cat = jnp.concatenate([query, memory_dis[None].astype(query.dtype)],
                                     axis=1)
             a0 = self.global_attention[0](q_cat, kv, kv,

@@ -202,7 +202,9 @@ class RetinaNet(nn.Module):
                                  anchors[a_idx])
             boxes = clip_to_image(boxes, image_hw, plus_one=True)
             ok = scores > self.score_thresh
-            offs = (c_idx + 1).astype(jnp.float32)[:, None] * (max(h, w) + 1.0)
+            offs = ((c_idx + 1).astype(jnp.float32)[:, None]
+                    * (jnp.maximum(jnp.asarray(h, jnp.float32),
+                                   jnp.asarray(w, jnp.float32)) + 1.0))
             keep, val = nms_select(boxes + offs, scores, self.detections,
                                    self.nms_thresh, valid=ok, plus_one=True)
             return BoxArray(boxes[keep], scores[keep],

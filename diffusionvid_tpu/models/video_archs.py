@@ -156,7 +156,13 @@ class FGFAArch(nn.Module):
         """FGFA training (generalized_rcnn_fgfa.py:105-143): one backbone
         pass over [cur, refs], refs flow-warped onto cur, cosine-weight
         aggregation against the CUR frame's embedding, detector trained on
-        the current frame's GT."""
+        the current frame's GT.
+
+        NOTE: like the reference, train-time aggregation runs over the
+        SAMPLED refs only (cur joins only if offset 0 is drawn,
+        vid_fgfa.py:25-27), while the test window always includes cur —
+        that train/test asymmetry is the reference's own behavior, kept
+        for parity."""
         all_images = jnp.concatenate([cur_images, ref_images], 0)
         feats = self.detector.features(all_images)
         cur_feat, ref_feats = feats[:1], feats[1:]

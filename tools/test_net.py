@@ -162,6 +162,25 @@ def main():
         variables = {"params": merged}
         logger.info(f"converted torch weights: {n} tensors copied")
 
+    if not getattr(ds, "is_video", True):
+        # still-image dataset (coco_*/voc_*/cityscapes_*): per-image eval
+        # with the single-frame detector + the matching evaluator
+        from diffusionvid_tpu.engine.inference_still import run_inference_still
+        ev = ("coco" if dataset_name.startswith("coco_")
+              else "cityscapes" if dataset_name.startswith("cityscapes_")
+              else "voc")
+        if is_diffusion or method not in ("base",):
+            raise SystemExit(
+                f"still-image dataset {dataset_name} needs a single-frame "
+                f"detector (VID.METHOD base / META_ARCHITECTURE "
+                f"GeneralizedRCNN); got method={method}")
+        _, _, results = run_inference_still(
+            model, variables, ds, min_size=cfg.INPUT.MIN_SIZE_TEST,
+            max_size=cfg.INPUT.MAX_SIZE_TEST, logger=logger,
+            max_images=args.max_videos, evaluator=ev)
+        logger.info(f"FINAL AP50 = {results['ap50']:.4f}")
+        return
+
     from diffusionvid_tpu.utils.profiling import trace
     with trace(args.profile_dir):
         if is_diffusion:
@@ -193,6 +212,11 @@ def main():
                         f"waiting on other shards for the merged eval")
             return
         gt_all = [{"boxes": a.boxes, "labels": a.labels} for a in ds.annos]
+        # the VID_val_* index files list one line per FRAME (vid.py:56-66),
+        # so ds.annos aligns with the merged per-frame predictions; guard
+        # against any index whose granularity differs
+        assert len(gt_all) == len(merged), \
+            f"{len(gt_all)} GT entries vs {len(merged)} merged predictions"
         results = evaluate_vid(gt_all, merged, motion_ious=motion_ious,
                                motion_specific=args.motion_specific)
         logger.info(f"merged {args.num_shards}-shard eval over "

@@ -201,7 +201,8 @@ def main():
     train_ds = ConcatDataset(datasets) if len(datasets) > 1 else datasets[0]
     group_ids = aspect_ratio_group_ids(train_ds)
     batch_iter = grouped_batches(group_ids, n_dp, seed=0)
-    sample_rng = np.random.RandomState(1)
+    sample_rng = np.random.RandomState(1)   # used by the prefetch thread
+    reuse_rng = np.random.RandomState(2)    # main thread (batch reuse)
 
     def build_sample(ds, i):
         if is_diffusion:
@@ -244,10 +245,12 @@ def main():
         else:
             # batch reuse (engine/trainer.py:107-124): swap the current
             # frame with a random global ref and retrain on the same
-            # loaded batch — another gradient step with zero host IO
+            # loaded batch — another gradient step with zero host IO.
+            # Own RNG: sample_rng lives in the prefetch producer thread
+            # (np.random.RandomState is not thread-safe)
             first_g = 1 if is_diffusion else 1 + spec.num_local + spec.num_mem
             for smp in samples:
-                j = sample_rng.randint(first_g, smp["images"].shape[0])
+                j = reuse_rng.randint(first_g, smp["images"].shape[0])
                 for key in ("images", "gt_boxes", "gt_labels", "gt_valid"):
                     smp[key][[0, j]] = smp[key][[j, 0]]
         batch = TrainBatch(

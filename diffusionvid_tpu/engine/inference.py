@@ -98,12 +98,22 @@ def run_inference(model, params, dataset: VIDDataset, sample_cfg: SampleConfig,
 
         state = det.start_video(r_video, video.global_frames, whwh)
         video_preds = []
+        # 1-deep pipeline: jax dispatch is async, so convert chunk N's
+        # detections (host D2H + numpy) while the device runs chunk N+1
+        pending = None
         for frames, ids, n_valid in PrefetchIterator(video.chunk_iter,
                                                      depth=2):
             state, dets = det.process_chunk(state, frames, whwh, n_valid)
-            for i in range(n_valid):
-                video_preds.append(_detections_to_numpy(dets, i, scale))
+            if pending is not None:
+                p_dets, p_valid = pending
+                for i in range(p_valid):
+                    video_preds.append(_detections_to_numpy(p_dets, i, scale))
+            pending = (dets, n_valid)
             n_frames += n_valid
+        if pending is not None:
+            p_dets, p_valid = pending
+            for i in range(p_valid):
+                video_preds.append(_detections_to_numpy(p_dets, i, scale))
 
         if use_seq_nms:
             video_preds = seq_nms_video(video_preds)
@@ -116,6 +126,17 @@ def run_inference(model, params, dataset: VIDDataset, sample_cfg: SampleConfig,
             fps = n_frames / max(time.perf_counter() - t0, 1e-9)
             logger.info(f"video {n_vid}: {video.seg_len} frames "
                         f"({fps:.1f} fps cumulative)")
+
+    if jax.process_count() > 1:
+        # multi-host pod run: exchange tagged per-video predictions over
+        # the mesh and rebuild global frame order (the reference's pickle
+        # all_gather merge, engine/inference.py:97-116)
+        from ..parallel.multihost import gather_predictions
+        merged = gather_predictions(tagged)
+        if merged is not None and merged is not tagged:
+            predictions = merged
+            gt_list = [{"boxes": a.boxes, "labels": a.labels}
+                       for a in dataset.annos]
 
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)

@@ -116,6 +116,8 @@ def run_inference_video_arch(model, variables, dataset, sample_cfg: SampleConfig
 
         video_preds = []
         key_feat = None
+        pending = None   # 1-deep pipeline: convert prev frame's dets
+        # while the device runs the current frame (async dispatch)
         for f in range(n):
             cur = jnp.asarray(frames[f: f + 1])
             if method == "base":
@@ -176,7 +178,11 @@ def run_inference_video_arch(model, variables, dataset, sample_cfg: SampleConfig
                 dets = fn(variables, cur, jnp.asarray(whwh), state, hw)
             else:
                 raise ValueError(method)
-            video_preds.append(_to_numpy(dets, 0, scale))
+            if pending is not None:
+                video_preds.append(_to_numpy(pending, 0, scale))
+            pending = dets
+        if pending is not None:
+            video_preds.append(_to_numpy(pending, 0, scale))
 
         if use_seq_nms:
             from .seq_nms import seq_nms_video

@@ -273,6 +273,12 @@ def get_default_cfg() -> CfgNode:
     _C.TEST.IMS_PER_BATCH = 1
     _C.TEST.DETECTIONS_PER_IMG = 300
     _C.TEST.SEQ_NMS = False
+    # test-time box augmentation (reference defaults.py:552-565)
+    _C.TEST.BBOX_AUG = CfgNode()
+    _C.TEST.BBOX_AUG.ENABLED = False
+    _C.TEST.BBOX_AUG.H_FLIP = True
+    _C.TEST.BBOX_AUG.SCALES = ()
+    _C.TEST.BBOX_AUG.MAX_SIZE = 4000
 
     # ------------------------------------------------------------------- TPU
     # Knobs that have no reference analogue: how the TPU build pads/runs.

@@ -44,9 +44,13 @@ def run_inference_video_arch(model, variables, dataset, sample_cfg: SampleConfig
                              output_dir: Optional[str] = None,
                              use_seq_nms: bool = False, motion_ious=None,
                              motion_specific: bool = False,
-                             shard: int = 0, num_shards: int = 1):
+                             shard: int = 0, num_shards: int = 1,
+                             use_bbox_aug: bool = False):
     """Evaluate a classic/MEGA-family model over a VID dataset.
 
+    ``use_bbox_aug``: TEST.BBOX_AUG h-flip ensembling for the per-frame
+    methods (engine/bbox_aug.py; reference bbox_aug.py:33-38) — the
+    flipped variant's detections map back and merge with class-aware NMS.
     Returns (predictions, gt_list, results)."""
     if motion_ious is not None and (num_shards > 1 or max_videos is not None):
         motion_ious = None   # rows align to the full dataset only
@@ -178,6 +182,26 @@ def run_inference_video_arch(model, variables, dataset, sample_cfg: SampleConfig
                 dets = fn(variables, cur, jnp.asarray(whwh), state, hw)
             else:
                 raise ValueError(method)
+
+            if use_bbox_aug and method == "base":
+                # h-flip TTA: flip the CONTENT region (not the pad), detect,
+                # map boxes back, merge (bbox_aug.py im_detect_bbox_hflip)
+                from .bbox_aug import flip_boxes_back, merge_augmented
+                rh_i, rw_i = int(whwh[1]), int(whwh[0])
+                fr = frames[f].copy()
+                fr[:rh_i, :rw_i] = fr[:rh_i, :rw_i][:, ::-1]
+                fn = jitted("base", cur.shape,
+                            make=lambda: lambda v, c, e: model.apply(
+                                v, c, (e[0], e[1]), train=False))
+                dets_f = fn(variables, jnp.asarray(fr)[None], hw)
+                d1 = _to_numpy(dets, 0, 1.0)
+                d2 = _to_numpy(dets_f, 0, 1.0)
+                d2["boxes"] = flip_boxes_back(d2["boxes"], rw_i)
+                merged = merge_augmented([d1, d2])
+                merged["boxes"] = merged["boxes"] / scale
+                video_preds.append(merged)
+                continue
+
             if pending is not None:
                 video_preds.append(_to_numpy(pending, 0, scale))
             pending = dets

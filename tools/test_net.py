@@ -202,7 +202,9 @@ def main():
                 logger=logger, max_videos=args.max_videos,
                 output_dir=output_dir, use_seq_nms=args.seq_nms,
                 motion_ious=motion_ious, motion_specific=args.motion_specific,
-                shard=args.shard, num_shards=args.num_shards)
+                shard=args.shard, num_shards=args.num_shards,
+                use_bbox_aug=bool(cfg.TEST.BBOX_AUG.ENABLED
+                                  and cfg.TEST.BBOX_AUG.H_FLIP))
 
     if args.num_shards > 1:
         # cross-shard merge: evaluate only once all shards have written

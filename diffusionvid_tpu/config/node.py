@@ -101,20 +101,26 @@ class CfgNode(dict):
             else:
                 self[k] = _decode_value(v)
 
-    def merge_from_file(self, path: str) -> None:
+    def merge_from_file(self, path: str, _seen=None) -> None:
         """Merge a YAML file.  A top-level ``BASE: <relative path>`` key pulls
         in a base config first (the reference instead auto-merges
         ``BASE_RCNN_{n}gpu.yaml`` by GPU count, ``tools/train_net.py:202-207``;
         an explicit chain is deterministic and works headless)."""
         import os
 
+        real = os.path.realpath(path)
+        _seen = set() if _seen is None else _seen
+        if real in _seen:
+            raise ValueError(f"BASE config cycle involving {path}")
+        _seen.add(real)
         with open(path) as f:
             loaded = yaml.safe_load(f)
         if not loaded:
             return
         base = loaded.pop("BASE", None)
         if base:
-            self.merge_from_file(os.path.join(os.path.dirname(path), base))
+            self.merge_from_file(os.path.join(os.path.dirname(path), base),
+                                 _seen)
         self.merge_from_other(loaded)
 
     def merge_from_str(self, text: str) -> None:

@@ -56,3 +56,12 @@ def test_flagship_values_match_reference():
     assert (det.MODEL.DiffusionDet.NUM_HEADS,
             det.MODEL.DiffusionDet.NUM_HEADS_LOCAL) == (4, 0)
     assert det.MODEL.VID.MEGA.GLOBAL.ENABLE is False
+
+
+def test_base_cycle_raises(tmp_path):
+    a = tmp_path / "a.yaml"
+    b = tmp_path / "b.yaml"
+    a.write_text("BASE: b.yaml\nOUTPUT_DIR: x\n")
+    b.write_text("BASE: a.yaml\nOUTPUT_DIR: y\n")
+    with pytest.raises(ValueError, match="cycle"):
+        load_config(str(a))

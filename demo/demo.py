@@ -211,13 +211,32 @@ def demo_classic(cfg, model, args, logger):
         variables = {"params": load_checkpoint(args.checkpoint)["params"]}
         logger.info(f"loaded {args.checkpoint}")
 
-    state = model.init_state() if method == "mega" else None
     _cache = {}
 
     def jitted(key, make):
         if key not in _cache:
             _cache[key] = jax.jit(make())
         return _cache[key]
+
+    state = None
+    if method == "mega":
+        # prime the FPS global memory from evenly spaced frames
+        # (generalized_rcnn_mega.py:446-526 init_global)
+        state = model.init_state()
+        ginit = np.linspace(0, n - 1, min(8, n)).astype(int)
+        for s0 in range(0, len(ginit), 4):
+            g = jnp.asarray(frames[ginit[s0: s0 + 4]])
+            memfeat = jitted(("memfeat", g.shape),
+                             lambda: lambda v, g, e: model.apply(
+                                 v, g, (e[0], e[1]),
+                                 method=type(model).memory_features))
+            feats, valid = memfeat(variables, g, jnp.asarray([rh, rw],
+                                                            jnp.float32))
+            upd = jitted(("memupd", feats.shape),
+                         lambda: lambda v, st, f2, va: model.apply(
+                             v, st, f2, va,
+                             method=type(model).update_memory))
+            state = upd(variables, state, feats, valid)
 
     os.makedirs(args.output_folder, exist_ok=True)
     writer = None
@@ -242,10 +261,17 @@ def demo_classic(cfg, model, args, logger):
                 np.concatenate([frames[lo:hi], frames[fidx: fidx + 1]])
                 if method == "fgfa" else frames[lo:hi])
             if method == "mega":
-                fn = jitted(("mega", refs.shape),
-                            lambda: lambda v, c, r, st: model.apply(
-                                v, c, r, hw, state=st))
-                dets = fn(variables, cur, refs, state)
+                if getattr(model, "use_stage_mem", False):
+                    fn = jitted(("mega_sm", refs.shape),
+                                lambda: lambda v, c, r, st: model.apply(
+                                    v, c, r, hw, state=st,
+                                    return_state=True))
+                    dets, state = fn(variables, cur, refs, state)
+                else:
+                    fn = jitted(("mega", refs.shape),
+                                lambda: lambda v, c, r, st: model.apply(
+                                    v, c, r, hw, state=st))
+                    dets = fn(variables, cur, refs, state)
             else:
                 fn = jitted((method, refs.shape),
                             lambda: lambda v, c, r: model.apply(

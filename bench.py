@@ -145,11 +145,13 @@ def bench_train(model, variables):
 
 
 def bench_e2e(det, whwh):
-    """IO-included: decode real JPEGs + resize + pad on the host, prefetch
-    ahead of the device (engine/inference.py pipeline shape)."""
+    """IO-included: the host decodes JPEGs and ships RAW uint8 frames;
+    resize + pad run on the TPU (engine/preprocess.py), so host work is
+    decode only and the H2D transfer happens inside the prefetch thread."""
     import cv2
 
-    from diffusionvid_tpu.data.prefetch import PrefetchIterator
+    from diffusionvid_tpu.data.prefetch import PrefetchIterator, prefetch_map
+    from diffusionvid_tpu.engine import make_device_preprocess
 
     tmp = tempfile.mkdtemp(prefix="bench_frames_")
     rng = np.random.RandomState(3)
@@ -161,19 +163,14 @@ def bench_e2e(det, whwh):
     for i in range(n_frames):
         cv2.imwrite(os.path.join(tmp, f"{i:06d}.JPEG"), img)
 
-    from diffusionvid_tpu.data.transforms import (
-        frame_bucket, resize_scale, transform_frame)
-    scale = resize_scale(720, 1213, 600, 1000)
-    bucket = frame_bucket(720, 1213, 600, 1000)
-
-    from diffusionvid_tpu.data.prefetch import prefetch_map
+    preprocess, pre_whwh, _ = make_device_preprocess(720, 1213, 600, 1000)
 
     def load(i):
-        # uint8 end-to-end: halves the host resize cost, quarters the
-        # H2D bytes; the model normalizes on device
+        # decode is the ONLY host image work; the device_put ships the
+        # raw frame from the prefetch thread, overlapping the transfer
+        # with the main thread's dispatch
         raw = cv2.imread(os.path.join(tmp, f"{i:06d}.JPEG"))[:, :, ::-1]
-        return transform_frame(np.ascontiguousarray(raw), scale, False,
-                               bucket)
+        return jax.device_put(np.ascontiguousarray(raw))
 
     def chunks():
         frames_ahead = prefetch_map(load, range(n_frames), workers=8,
@@ -182,21 +179,22 @@ def bench_e2e(det, whwh):
         for img in frames_ahead:
             imgs.append(img)
             if len(imgs) == INFER_BATCH:
-                yield np.stack(imgs)
+                yield jnp.stack(imgs)
                 imgs = []
 
     state = det.init_state(jax.random.PRNGKey(7))
     state = state._replace(mem=state.mem._replace(
         feats=jnp.asarray(rng.randn(900, 256), jnp.float32),
         count=jnp.asarray(900, jnp.int32)))
-    # warmup on one chunk
+    # warmup on one chunk (compiles the preprocess step too)
     first = next(chunks())
-    state, dets = det.process_chunk(state, jnp.asarray(first), whwh)
+    jwhwh = jnp.asarray(pre_whwh)
+    state, dets = det.process_chunk(state, preprocess(first), jwhwh)
     _ = np.asarray(dets.scores)
 
     start = time.perf_counter()
     for frames in PrefetchIterator(chunks(), depth=2):
-        state, dets = det.process_chunk(state, jnp.asarray(frames), whwh)
+        state, dets = det.process_chunk(state, preprocess(frames), jwhwh)
     _ = np.asarray(dets.scores)
     fps = n_frames / (time.perf_counter() - start)
     emit("diffusionvid_r101_x1_e2e_with_io", fps, "frames/sec/chip",

@@ -25,8 +25,9 @@ from typing import Iterator, List, Optional
 import numpy as np
 
 from .transforms import (
-    color_jitter, frame_bucket, resize_scale, transform_frame)
-from .vid_dataset import VIDDataset, pad_groundtruth
+    frame_bucket, resize_scale, ssd_augment, transform_frame,
+    transform_frame_to)
+from .vid_dataset import FrameAnno, VIDDataset, pad_groundtruth
 
 
 @dataclass
@@ -39,8 +40,10 @@ class SampleConfig:
     global_size: int = 24       # init frames for the test-time memory
     infer_batch: int = 8
     shuffle_global: bool = True
-    color_jitter: bool = False  # INPUT.TRANSFORM → per-frame ColorJitter
-                                # (reference transforms/build.py:52)
+    transform: bool = False     # INPUT.TRANSFORM → per-frame SSD
+                                # augmentation (PhotometricDistort + Expand
+                                # + RandomSampleCrop, transforms/build.py:68)
+    pixel_mean: tuple = (123.675, 116.280, 103.530)  # Expand fill source
     decode_workers: int = 8     # DATALOADER.NUM_WORKERS analogue: threads
                                 # decoding frames ahead of the device
 
@@ -93,9 +96,15 @@ class MethodSampleSpec:
                                     max_offset=v.RDN.MAX_OFFSET)
         if m in ("mega", "dafa"):
             g = v.MEGA
+            # DAFA's train loss consumes global refs only (train_methods.py
+            # dafa branch; SparseRCNNDAFA.train_loss) — decoding local refs
+            # would ship unused frames to the device every step, so the
+            # spec drops them until local box attention is wired into the
+            # DAFA loss (reference ATTENTION.STAGE training path).
+            use_local = g.LOCAL.ENABLE and m != "dafa"
             return MethodSampleSpec(
                 m,
-                num_local=g.REF_NUM_LOCAL if g.LOCAL.ENABLE else 0,
+                num_local=g.REF_NUM_LOCAL if use_local else 0,
                 min_offset=g.MIN_OFFSET, max_offset=g.MAX_OFFSET,
                 num_mem=g.REF_NUM_MEM if g.MEMORY.ENABLE else 0,
                 all_frame_interval=g.ALL_FRAME_INTERVAL,
@@ -120,25 +129,47 @@ def build_train_sample_method(ds: VIDDataset, idx: int,
 
     frames: List[np.ndarray] = []
     gts = []
+    rh = int(round(anno.height * scale))
+    rw = int(round(anno.width * scale))
 
-    def jitter(im):
-        if not cfg.color_jitter:
-            return im
-        return color_jitter(np.asarray(im, np.uint8), rng).astype(im.dtype)
+    def add_frame(img, a: FrameAnno):
+        """Transform one frame.  With INPUT.TRANSFORM the SSD augmentation
+        runs before resize (reference build.py:67-74) and every frame is
+        augmented independently (vid_mega.py:125-130 transforms each ref —
+        including DET-still copies — separately).  The augmented frame is
+        resized to the sample's static (rh, rw) target — the Expand/crop
+        ops preserve aspect to ≤1 px, so this matches the reference's
+        per-image Resize up to rounding while keeping one whwh per sample."""
+        if cfg.transform:
+            img8, b, l = ssd_augment(np.asarray(img, np.uint8),
+                                     a.boxes.copy(), a.labels, rng,
+                                     cfg.pixel_mean)
+            ah, aw = img8.shape[:2]
+            b = b * np.asarray([rw / aw, rh / ah, rw / aw, rh / ah],
+                               np.float32)
+            a = FrameAnno(boxes=b, labels=l, height=rh, width=rw)
+            frames.append(transform_frame_to(img8, (rh, rw), flip, bucket)
+                          .astype(img.dtype))
+            gts.append(pad_groundtruth(a, cfg.max_gt, 1.0, flip))
+        else:
+            frames.append(transform_frame(img, scale, flip, bucket))
+            gts.append(pad_groundtruth(a, cfg.max_gt, scale, flip))
+
+    cur_img = ds.load_image(ds.image_path(idx))
 
     def add(frame_id: Optional[int]):
         if frame_id is None or not ds.is_video:
-            frames.append(frames[0])
-            gts.append(gts[0])
+            if cfg.transform:      # independent augmentation per copy
+                add_frame(cur_img, anno)
+            else:
+                frames.append(frames[0])
+                gts.append(gts[0])
             return
         a = ds.get_groundtruth_for_frame(idx, int(frame_id))
         img = ds.load_image(ds.frame_path(idx, int(frame_id)))
-        frames.append(transform_frame(jitter(img), scale, flip, bucket))
-        gts.append(pad_groundtruth(a, cfg.max_gt, scale, flip))
+        add_frame(img, a)
 
-    img = ds.load_image(ds.image_path(idx))
-    frames.append(transform_frame(jitter(img), scale, flip, bucket))
-    gts.append(pad_groundtruth(anno, cfg.max_gt, scale, flip))
+    add_frame(cur_img, anno)
 
     if ds.is_video:
         seg_len = ds.frame_seg_len[idx]
@@ -170,8 +201,6 @@ def build_train_sample_method(ds: VIDDataset, idx: int,
         for _ in range(spec.num_local + spec.num_mem + spec.num_global):
             add(None)
 
-    rh = int(round(anno.height * scale))
-    rw = int(round(anno.width * scale))
     return {
         "images": np.stack(frames),
         "gt_boxes": np.stack([g[0] for g in gts]),

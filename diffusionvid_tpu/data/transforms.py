@@ -62,6 +62,20 @@ def transform_frame(img: np.ndarray, scale: float, flip: bool,
     return pad_to(np.ascontiguousarray(img), bucket_hw)
 
 
+def transform_frame_to(img: np.ndarray, size_hw: Tuple[int, int], flip: bool,
+                       bucket_hw: Tuple[int, int]) -> np.ndarray:
+    """Resize to an exact (h, w) → optional hflip → pad to the bucket.
+    Used by the SSD-augmented train path, where each frame's augmented
+    extent differs by rounding but must land on the sample's static
+    target resolution."""
+    import cv2
+    rh, rw = size_hw
+    img = cv2.resize(img, (rw, rh), interpolation=cv2.INTER_LINEAR)
+    if flip:
+        img = img[:, ::-1]
+    return pad_to(np.ascontiguousarray(img), bucket_hw)
+
+
 def frame_bucket(height: int, width: int, min_size: int = 600,
                  max_size: int = 1000, divisor: int = 32) -> Tuple[int, int]:
     """Orientation-dependent static bucket for this image."""
@@ -70,10 +84,167 @@ def frame_bucket(height: int, width: int, min_size: int = 600,
 
 
 # ---------------------------------------------------------------------------
+# SSD-style train augmentation — the LIVE reference INPUT.TRANSFORM path
+# (transforms/build.py:67-68 appends TS.SSDAugmentation; the ColorJitter
+# composition in build.py:50-65 is commented out upstream).  Pipeline
+# (transforms_selsa.py:449-471): PhotometricDistort → Expand(mean-fill) →
+# RandomSampleCrop, all on uint8-rounded RGB before resize.
+# ---------------------------------------------------------------------------
+
+def ssd_photometric_distort(img: np.ndarray,
+                            rng: np.random.RandomState) -> np.ndarray:
+    """PhotometricDistort (transforms_selsa.py:422-446): random brightness,
+    then (contrast → HSV saturation/hue) or (HSV saturation/hue → contrast),
+    then random channel shuffle.  Every sub-op flips its own coin.
+    float32 RGB 0..255 in/out (clipping happens in ConvertToInts at the
+    end of ssd_augment)."""
+    import cv2
+
+    out = img.astype(np.float32)
+    # RandomBrightness(delta=32)
+    if rng.randint(2):
+        out = out + rng.uniform(-32.0, 32.0)
+
+    def contrast(im):
+        # RandomContrast(0.5, 1.5)
+        if rng.randint(2):
+            return im * rng.uniform(0.5, 1.5)
+        # the coin consumes an alpha draw either way in the reference
+        rng.uniform(0.5, 1.5)
+        return im
+
+    def satur_hue(im):
+        # ConvertColor RGB→HSV on the float image (H in degrees, V on the
+        # input 0..255 scale) → RandomSaturation / RandomHue → back
+        hsv = cv2.cvtColor(im, cv2.COLOR_RGB2HSV)
+        if rng.randint(2):
+            hsv[:, :, 1] *= rng.uniform(0.5, 1.5)
+        else:
+            rng.uniform(0.5, 1.5)
+        if rng.randint(2):
+            h = hsv[:, :, 0] + rng.uniform(-18.0, 18.0)
+            h[h > 360.0] -= 360.0
+            h[h < 0.0] += 360.0
+            hsv[:, :, 0] = h
+        else:
+            rng.uniform(-18.0, 18.0)
+        return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+
+    if rng.randint(2):
+        out = satur_hue(contrast(out))      # pd[:-1]: contrast first
+    else:
+        out = contrast(satur_hue(out))      # pd[1:]: contrast last
+
+    # RandomLightingNoise: random channel permutation
+    perms = ((0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0))
+    if rng.randint(2):
+        out = out[:, :, perms[rng.randint(len(perms))]]
+    else:
+        rng.randint(len(perms))
+    return out
+
+
+def ssd_expand(img: np.ndarray, boxes: np.ndarray,
+               rng: np.random.RandomState, mean,
+               expand_scale: float = 2.0):
+    """Expand (transforms_selsa.py:347-388): paste onto a mean-filled
+    canvas up to ``expand_scale``× the size, shifting boxes.  50% skip.
+    The reference fills with ``mean[::-1]`` rounded (is_RGB=True) — kept
+    verbatim for parity, even when PIXEL_MEAN is already RGB."""
+    if rng.randint(2):
+        return img, boxes
+    h, w = img.shape[:2]
+    ratio = rng.uniform(1.0, expand_scale)
+    left = int(rng.uniform(0, w * ratio - w))
+    top = int(rng.uniform(0, h * ratio - h))
+    fill = [round(float(m)) for m in list(mean)[::-1]]
+    out = np.empty((int(h * ratio), int(w * ratio), img.shape[2]), img.dtype)
+    out[:, :] = np.asarray(fill, img.dtype)
+    out[top: top + h, left: left + w] = img
+    if len(boxes):
+        boxes = boxes.copy()
+        boxes[:, :2] += (left, top)
+        boxes[:, 2:] += (left, top)
+    return out, boxes
+
+
+_SSD_CROP_MODES = (None, (0.1, None), (0.3, None), (0.7, None), (0.9, None),
+                   (None, None))
+
+
+def ssd_random_sample_crop(img: np.ndarray, boxes: np.ndarray,
+                           labels: np.ndarray, rng: np.random.RandomState,
+                           crop_pert: float = 0.3, max_rounds: int = 20):
+    """RandomSampleCrop (transforms_selsa.py:224-345): aspect-preserving
+    window ≥ ``crop_pert``× the width, gated on per-GT IoU with a sampled
+    floor; GTs keep membership by box center.  The reference retries modes
+    forever; ``max_rounds`` bounds that with the same distribution (mode
+    None is an immediate exit with p=1/6 per round)."""
+    for _ in range(max_rounds):
+        mode = _SSD_CROP_MODES[rng.randint(len(_SSD_CROP_MODES))]
+        if mode is None:
+            return img, boxes, labels
+        min_iou = -np.inf if mode[0] is None else mode[0]
+        max_iou = np.inf if mode[1] is None else mode[1]
+        h, w = img.shape[:2]
+        aspect = float(h) / float(w)
+        for _ in range(50):
+            cw = rng.uniform(crop_pert * w, w)
+            ch = cw * aspect
+            left = rng.uniform(0.0, w - cw)
+            top = rng.uniform(0.0, h - ch)
+            rect = np.array([int(left), int(top),
+                             int(left + cw), int(top + ch)])
+            if len(boxes):
+                ix = (np.minimum(boxes[:, 2], rect[2])
+                      - np.maximum(boxes[:, 0], rect[0])).clip(min=0)
+                iy = (np.minimum(boxes[:, 3], rect[3])
+                      - np.maximum(boxes[:, 1], rect[1])).clip(min=0)
+                inter = ix * iy
+                area_b = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+                area_r = (rect[2] - rect[0]) * (rect[3] - rect[1])
+                iou = inter / np.maximum(area_b + area_r - inter, 1e-9)
+                if iou.min() < min_iou or iou.max() > max_iou:
+                    continue
+                centers = 0.5 * (boxes[:, :2] + boxes[:, 2:])
+                keep = ((rect[0] < centers[:, 0]) & (rect[1] < centers[:, 1])
+                        & (rect[2] > centers[:, 0]) & (rect[3] > centers[:, 1]))
+                if not keep.any():
+                    continue
+                nb = boxes[keep].copy()
+                nb[:, :2] = np.maximum(nb[:, :2], rect[:2]) - rect[:2]
+                nb[:, 2:] = np.minimum(nb[:, 2:], rect[2:]) - rect[:2]
+                nl = labels[keep]
+            else:
+                nb, nl = boxes, labels
+            return (np.ascontiguousarray(img[rect[1]: rect[3],
+                                             rect[0]: rect[2]]), nb, nl)
+    return img, boxes, labels
+
+
+def ssd_augment(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
+                rng: np.random.RandomState,
+                pixel_mean=(123.675, 116.280, 103.530),
+                expand_scale: float = 2.0, crop_pert: float = 0.3,
+                color: bool = True):
+    """SSDAugmentation (transforms_selsa.py:449-480) — the INPUT.TRANSFORM
+    train pipeline.  uint8 RGB + xyxy boxes in; uint8 + adjusted
+    (boxes, labels) out.  Runs BEFORE resize, as in the reference."""
+    out = img.astype(np.float32)
+    if color:
+        out = ssd_photometric_distort(out, rng)
+    out, boxes = ssd_expand(out, boxes, rng, pixel_mean, expand_scale)
+    out, boxes, labels = ssd_random_sample_crop(out, boxes, labels, rng,
+                                                crop_pert)
+    return (np.clip(out, 0, 255).astype(np.uint8),
+            np.asarray(boxes, np.float32), labels)
+
+
+# ---------------------------------------------------------------------------
 # Photometric / geometric train augmentation
-# (reference transforms.py:101-330; the shipped pipeline activates
-# ColorJitter when INPUT.TRANSFORM=True — build.py:52 — while RandomPad /
-# RandomCrop ship implemented-but-disabled, build.py:56-57.)
+# (reference transforms.py:101-330 — the commented-out upstream
+# composition; kept for parity breadth.  RandomPad / RandomCrop ship
+# implemented-but-disabled there, build.py:56-57.)
 # ---------------------------------------------------------------------------
 
 def color_jitter(img: np.ndarray, rng: np.random.RandomState,

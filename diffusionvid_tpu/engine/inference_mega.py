@@ -48,10 +48,18 @@ def run_inference_video_arch(model, variables, dataset, sample_cfg: SampleConfig
                              use_bbox_aug: bool = False):
     """Evaluate a classic/MEGA-family model over a VID dataset.
 
-    ``use_bbox_aug``: TEST.BBOX_AUG h-flip ensembling for the per-frame
-    methods (engine/bbox_aug.py; reference bbox_aug.py:33-38) — the
-    flipped variant's detections map back and merge with class-aware NMS.
+    ``use_bbox_aug``: TEST.BBOX_AUG h-flip ensembling, supported for the
+    single-frame ``base`` method only (engine/bbox_aug.py; reference
+    bbox_aug.py:33-38) — the flipped variant's detections map back and
+    merge with class-aware NMS.  The temporal methods carry per-frame
+    state that a flipped second pass would corrupt, so the flag raises
+    there instead of being silently ignored.
     Returns (predictions, gt_list, results)."""
+    if use_bbox_aug and method != "base":
+        raise ValueError(
+            f"TEST.BBOX_AUG is only implemented for METHOD 'base' "
+            f"(got {method!r}); the dff/fgfa/rdn/mega streaming paths "
+            f"keep temporal state that h-flip TTA would invalidate")
     if motion_ious is not None and (num_shards > 1 or max_videos is not None):
         motion_ious = None   # rows align to the full dataset only
     predictions, gt_list = [], []

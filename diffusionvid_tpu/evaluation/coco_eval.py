@@ -53,8 +53,16 @@ def _iou_xyxy(det: np.ndarray, gt: np.ndarray) -> np.ndarray:
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
-def _match_image(det_boxes, det_scores, gt_boxes, gt_ignore, max_dets):
+def _match_image(det_boxes, det_scores, gt_boxes, gt_ignore, max_dets,
+                 gt_crowd=None):
     """COCOeval.evaluateImg for one (image, category, area range).
+
+    ``gt_ignore`` marks GT outside the area range (detections matching it
+    are neither TP nor FP); ``gt_crowd`` marks iscrowd GT, which COCOeval
+    allows to be matched by MULTIPLE detections ('gtm>0 and not iscrowd').
+    An area-ignored non-crowd GT is matchable once only — a second
+    detection on it must fall through to other GT or count as FP.  Our
+    datasets carry no crowd annotations, so gt_crowd defaults to none.
 
     Returns (scores [D], tp [T,D] bool, ignore_det [T,D] bool, n_gt)."""
     order = np.argsort(-det_scores, kind="mergesort")[:max_dets]
@@ -66,11 +74,14 @@ def _match_image(det_boxes, det_scores, gt_boxes, gt_ignore, max_dets):
     tp = np.zeros((t, d), bool)
     ig = np.zeros((t, d), bool)
     n_gt = int((~gt_ignore).sum())
+    if gt_crowd is None:
+        gt_crowd = np.zeros(g, bool)
     if g:
         # non-ignored GT first (COCOeval sorts gt by _ignore)
         gt_order = np.argsort(gt_ignore, kind="mergesort")
         gt_boxes = gt_boxes[gt_order]
         gt_ignore = gt_ignore[gt_order]
+        gt_crowd = gt_crowd[gt_order]
         ious = _iou_xyxy(det_boxes, gt_boxes)
         for ti, thr in enumerate(IOU_THRS):
             taken = np.zeros(g, bool)
@@ -78,7 +89,7 @@ def _match_image(det_boxes, det_scores, gt_boxes, gt_ignore, max_dets):
                 best = -1
                 best_iou = min(thr, 1 - 1e-10)
                 for gi in range(g):
-                    if taken[gi] and not gt_ignore[gi]:
+                    if taken[gi] and not gt_crowd[gi]:
                         continue
                     # once matched to a real GT, never downgrade to ignore
                     if best > -1 and not gt_ignore[best] and gt_ignore[gi]:

@@ -134,7 +134,8 @@ def multilevel_roi_align(features: Sequence, rois, spatial_scales: Sequence[floa
     hh = lvl_h[..., None, None].astype(jnp.float32)
     ww = lvl_w[..., None, None].astype(jnp.float32)
 
-    inside = (ys_b > -1.0) & (ys_b < hh) & (xs_b > -1.0) & (xs_b < ww)
+    # CUDA border rule (ROIAlign_cuda.cu:22): zero iff coord < -1 or > size
+    inside = (ys_b >= -1.0) & (ys_b <= hh) & (xs_b >= -1.0) & (xs_b <= ww)
     yc = jnp.clip(ys_b, 0.0, hh - 1.0)
     xc = jnp.clip(xs_b, 0.0, ww - 1.0)
 

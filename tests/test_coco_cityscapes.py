@@ -130,3 +130,30 @@ def test_cityscapes_eval_perfect(tmp_path):
               "labels": a.labels}]
     r = evaluate_cityscapes(ds, preds)
     assert np.isclose(r["AP"], 1.0)
+
+
+def test_area_ignored_gt_matched_once_only():
+    """COCOeval re-matches only iscrowd GT ('gtm>0 and not iscrowd'); an
+    area-range-ignored NON-crowd GT absorbs one detection — a second
+    detection on it is a plain unmatched detection (FP), not ignored."""
+    gt = np.asarray([[0.0, 0.0, 10.0, 10.0]])
+    dets = np.asarray([[0.0, 0.0, 10.0, 10.0], [0.5, 0.0, 10.5, 10.0]])
+    scores = np.asarray([0.9, 0.8])
+    ignore = np.asarray([True])
+    _, tp, ig, n_gt = _match_image(dets, scores, gt, ignore, 100)
+    assert n_gt == 0
+    # first det matches the ignored GT → ignored; second finds no free GT
+    assert ig[0, 0] and not tp[0, 0]
+    assert not ig[0, 1] and not tp[0, 1]
+
+
+def test_crowd_gt_rematched():
+    """With an explicit iscrowd flag the same GT absorbs both detections."""
+    gt = np.asarray([[0.0, 0.0, 10.0, 10.0]])
+    dets = np.asarray([[0.0, 0.0, 10.0, 10.0], [0.5, 0.0, 10.5, 10.0]])
+    scores = np.asarray([0.9, 0.8])
+    ignore = np.asarray([True])
+    crowd = np.asarray([True])
+    _, tp, ig, _ = _match_image(dets, scores, gt, ignore, 100,
+                                gt_crowd=crowd)
+    assert ig[0, 0] and ig[0, 1]

@@ -215,10 +215,16 @@ def main():
             return
         gt_all = [{"boxes": a.boxes, "labels": a.labels} for a in ds.annos]
         # the VID_val_* index files list one line per FRAME (vid.py:56-66),
-        # so ds.annos aligns with the merged per-frame predictions; guard
-        # against any index whose granularity differs
-        assert len(gt_all) == len(merged), \
-            f"{len(gt_all)} GT entries vs {len(merged)} merged predictions"
+        # so ds.annos aligns with the merged per-frame predictions; a
+        # mismatch means partial coverage (--max-videos, or an index whose
+        # granularity differs) — skip the merged eval rather than crash
+        # after all shards finished their inference
+        if len(gt_all) != len(merged):
+            logger.warning(
+                f"merged eval skipped: {len(gt_all)} GT entries vs "
+                f"{len(merged)} merged predictions (partial shards / "
+                f"--max-videos?)")
+            return
         results = evaluate_vid(gt_all, merged, motion_ious=motion_ious,
                                motion_specific=args.motion_specific)
         logger.info(f"merged {args.num_shards}-shard eval over "

@@ -84,7 +84,8 @@ def main():
         min_size=tuple(min_train) if isinstance(min_train, (tuple, list))
         else min_train,
         max_size=cfg.INPUT.MAX_SIZE_TRAIN,
-        color_jitter=bool(cfg.INPUT.TRANSFORM))
+        transform=bool(cfg.INPUT.TRANSFORM),
+        pixel_mean=tuple(cfg.INPUT.PIXEL_MEAN))
     spec = None if is_diffusion else MethodSampleSpec.from_config(cfg)
 
     datasets = [get_dataset(n, is_train=True, data_dir=args.data_dir)

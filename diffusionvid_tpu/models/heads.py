@@ -121,6 +121,31 @@ class MultiheadAttention(nn.Module):
         return Linear(d, dtype=self.dtype, name="out_proj")(out)
 
 
+class HalvedLinear(nn.Module):
+    """Dense layer emitting its two output halves as separate matmuls.
+
+    Parameter tree and torch layout are identical to ``Linear`` (one
+    weight [features, in], one bias), but the halves are produced by two
+    matmuls against contiguous row-slices of the weight rather than one
+    matmul followed by ``jnp.split`` — the split of the [S, 2·d·dd]
+    activation is a 300+ MB HBM round-trip per decoder stage (profiled
+    ~0.5 ms/stage) that XLA cannot fuse away."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        w = self.param("weight", nn.initializers.xavier_uniform(),
+                       (self.features, in_f))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        h = self.features // 2
+        wd = w.astype(self.dtype)
+        bd = b.astype(self.dtype)
+        return (x @ wd[:h].T + bd[:h], x @ wd[h:].T + bd[h:])
+
+
 class DynamicConv(nn.Module):
     """Instance-interaction block (box_head.py:666-711).
 
@@ -138,9 +163,10 @@ class DynamicConv(nn.Module):
     def __call__(self, pro_features, roi_features):
         """pro_features [S, D]; roi_features [S, 49, D] → [S, D]."""
         d, dd = self.hidden_dim, self.dim_dynamic
-        params = Linear(2 * d * dd, dtype=self.dtype, name="dynamic_layer")(pro_features)
-        p1 = params[:, : d * dd].reshape(-1, d, dd)
-        p2 = params[:, d * dd:].reshape(-1, dd, d)
+        h1, h2 = HalvedLinear(2 * d * dd, dtype=self.dtype,
+                              name="dynamic_layer")(pro_features)
+        p1 = h1.reshape(-1, d, dd)
+        p2 = h2.reshape(-1, dd, d)
 
         x = jnp.einsum("spd,sde->spe", roi_features, p1,
                        preferred_element_type=jnp.float32).astype(roi_features.dtype)

@@ -93,6 +93,46 @@ class Conv(nn.Module):
         return y
 
 
+class StemConv(nn.Module):
+    """The 7×7/s2 stem conv, computed via space-to-depth.
+
+    A C_in=3 convolution uses 3/128 MXU lanes (profiled at 3.1 ms per
+    8×608×1024 chunk — 18% of the whole backbone).  Equivalent form: pad
+    the kernel to 8×8 (one leading zero row/col), view it as a 4×4/s1
+    conv over the 2×2 space-to-depth input (12 channels) with asymmetric
+    padding (2,1) — identical arithmetic (the MLPerf ResNet trick),
+    ~10× better lane utilisation.  The parameter keeps the torch
+    [64, 3, 7, 7] layout so checkpoints load unchanged.
+    """
+
+    features: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, cin = x.shape
+        kw = self.param(
+            "weight",
+            nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+            (self.features, cin, 7, 7))
+        if h % 2 or w % 2:   # odd extents: keep the direct formulation
+            w_hwio = jnp.transpose(kw, (2, 3, 1, 0)).astype(self.dtype)
+            return lax.conv_general_dilated(
+                x.astype(self.dtype), w_hwio, (2, 2), [(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # input: [B, H/2, W/2, (py, px, c)]
+        x2 = x.reshape(b, h // 2, 2, w // 2, 2, cin)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * cin)
+        # kernel: zero-pad taps -3..3 → -4..3, split 8 = 2·DY + py
+        k8 = jnp.pad(kw, ((0, 0), (0, 0), (1, 0), (1, 0)))
+        k2 = k8.reshape(self.features, cin, 4, 2, 4, 2)
+        k2 = k2.transpose(2, 4, 3, 5, 1, 0).reshape(4, 4, 4 * cin,
+                                                    self.features)
+        return lax.conv_general_dilated(
+            x2.astype(self.dtype), k2.astype(self.dtype), (1, 1),
+            [(2, 1), (2, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class Bottleneck(nn.Module):
     """torchvision bottleneck: 1x1 → 3x3(stride) → 1x1, FrozenBN, ReLU."""
 
@@ -141,7 +181,7 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         blocks = RESNET_STAGES[self.depth]
-        x = Conv(64, 7, 2, 3, dtype=self.dtype, name="conv1")(x)
+        x = StemConv(64, dtype=self.dtype, name="conv1")(x)
         x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         # torch maxpool k3 s2 p1

@@ -47,7 +47,8 @@ def _band_params(coords, sizes):
     ``sizes`` broadcasts per ROI.  lo in [0, size-2]; weights absorb the
     clamping (a sample in the last cell puts its whole weight on slot 1)."""
     sz = sizes.astype(jnp.float32)
-    inside = (coords > -1.0) & (coords < sz)
+    # CUDA border rule (ROIAlign_cuda.cu:22): zero iff coord < -1 or > size
+    inside = (coords >= -1.0) & (coords <= sz)
     cc = jnp.clip(coords, 0.0, sz - 1.0)
     low = jnp.floor(cc)
     high = jnp.minimum(low + 1.0, sz - 1.0)
@@ -133,15 +134,189 @@ def _kernel(level_shapes, f3_ref, f4_ref, f5_ref, lvl_ref, y0_ref, x0_ref,
     jax.lax.fori_loop(0, rb, roi_loop, 0)
 
 
+def _kernel_v2(level_shapes, f3_ref, f4_ref, f5_ref, lvl_ref, y0_ref, x0_ref,
+               wy_ref, wx_ref, o_ref, t_ref, *, rb: int, s: int, p: int,
+               sr: int, pad_wl: int):
+    """Fold-everything variant of ``_kernel``: the 2×2 sampling-grid mean
+    is folded into BOTH passes, so the y-pass writes p (=7) pre-averaged
+    rows instead of s (=14) sample rows and the x-pass emits final [p, C]
+    rows directly — eliminating the per-window fold ``dot_general`` (a
+    latency-bound tiny MXU op, 7 per ROI) and halving y stores + scratch.
+
+    Same refs as ``_kernel``; t_ref scratch is [p, pad_Wl, C].
+    """
+    block = pl.program_id(1)
+    inv = 1.0 / (sr * sr)
+
+    def make_branch(f_ref, wl):
+        def branch(i, g):
+            wyv = wy_ref[0, g]                      # [s, 2] fp32
+            wxv = wx_ref[0, g]
+
+            for j in range(p):                      # folded y-pass
+                acc = None
+                for u in range(sr):                 # sr sample rows per bin
+                    k = j * sr + u
+                    lo = y0_ref[0, g, k]
+                    rows = f_ref[0, pl.ds(lo, 2), :, :]      # [2, Wl, C]
+                    w0 = wyv[k, 0].astype(rows.dtype)
+                    w1 = wyv[k, 1].astype(rows.dtype)
+                    part = rows[0] * w0 + rows[1] * w1       # [Wl, C]
+                    acc = part if acc is None else acc + part
+                t_ref[j] = jnp.pad(acc, ((0, pad_wl - wl), (0, 0)))
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 32, 1), 1)
+            for j7 in range(p):                     # x-pass, final rows out
+                ja = j7 * sr
+                jb = ja + sr - 1
+                lo_a = x0_ref[0, g, ja]
+                lo_b = x0_ref[0, g, jb]
+                lo8 = pl.multiple_of((jnp.minimum(lo_a, lo_b) // 8) * 8, 8)
+                win = t_ref[:, pl.ds(lo8, 32), :]            # [p, 32, C]
+                w32 = jnp.zeros((1, 32, 1), jnp.float32)
+                for u in range(sr):
+                    jx = j7 * sr + u
+                    d = x0_ref[0, g, jx] - lo8
+                    w32 = (w32 + jnp.where(lane == d, wxv[jx, 0], 0.0)
+                           + jnp.where(lane == d + 1, wxv[jx, 1], 0.0))
+                acc = jnp.sum(win.astype(jnp.float32) * (w32 * inv),
+                              axis=1)                        # [p, C] fp32
+                o_ref[0, i, j7] = acc.astype(o_ref.dtype)
+
+        return branch
+
+    branches = [make_branch(f3_ref, level_shapes[0][1]),
+                make_branch(f4_ref, level_shapes[1][1]),
+                make_branch(f5_ref, level_shapes[2][1])]
+
+    def roi_loop(i, _):
+        g = block * rb + i
+        jax.lax.switch(lvl_ref[0, g, 0], branches, i, g)
+        return 0
+
+    jax.lax.fori_loop(0, rb, roi_loop, 0)
+
+
+_WIN = 48  # narrow-window width: covers extent ≤ 38 cells + 8-align slack
+
+
+def _kernel_v3(level_shapes, f3_ref, f4_ref, f5_ref, scal_ref, wy_ref,
+               wx_ref, o_ref, t_ref, tn_ref, *, rb: int, s: int, p: int,
+               sr: int, pad_wl: int):
+    """Narrow-window variant of ``_kernel_v2``.
+
+    FPN level assignment bounds a normal-aspect ROI's on-level extent to
+    ≲ 36 cells, so both passes can work inside ONE 8-aligned ``_WIN``-wide
+    window per ROI: the y-pass interpolates [2, _WIN, C] slices instead of
+    full [2, Wl, C] rows (2.7× less VPU work on p3) and the x-pass reads
+    the static window scratch with no per-column dynamic slice.  Aspect-
+    extreme ROIs (x extent > _WIN-2 cells) take the full-row branch.
+    All per-ROI scalars ride ONE packed SMEM array ``scal_ref``
+    [1, R, 2s+2] — cols [0,s) y band starts, [s,2s) x band starts, 2s the
+    branch index (level*2 + 1 if wide), 2s+1 the aligned window start —
+    because every separate SMEM input window pads its last dim to 128
+    lanes × 2 buffers (~300 KB of the ~1 MB SMEM budget each).  Features
+    must be W-padded by ≥ _WIN so border windows stay in bounds.
+    """
+    block = pl.program_id(1)
+    inv = 1.0 / (sr * sr)
+
+    def narrow_branch(f_ref):
+        def branch(i, g):
+            wyv = wy_ref[0, g]
+            wxv = wx_ref[0, g]
+            xs = scal_ref[0, g, 2 * s + 1]
+
+            for j in range(p):                  # windowed, folded y-pass
+                acc = None
+                for u in range(sr):
+                    k = j * sr + u
+                    lo = scal_ref[0, g, k]
+                    rows = f_ref[0, pl.ds(lo, 2),
+                                 pl.ds(pl.multiple_of(xs, 8), _WIN), :]
+                    w0 = wyv[k, 0].astype(rows.dtype)
+                    w1 = wyv[k, 1].astype(rows.dtype)
+                    part = rows[0] * w0 + rows[1] * w1       # [_WIN, C]
+                    acc = part if acc is None else acc + part
+                tn_ref[j] = acc
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, _WIN, 1), 1)
+            win = tn_ref[...]                   # [p, _WIN, C] static read
+            for j7 in range(p):
+                w48 = jnp.zeros((1, _WIN, 1), jnp.float32)
+                for u in range(sr):
+                    jx = j7 * sr + u
+                    d = scal_ref[0, g, s + jx] - xs
+                    w48 = (w48 + jnp.where(lane == d, wxv[jx, 0], 0.0)
+                           + jnp.where(lane == d + 1, wxv[jx, 1], 0.0))
+                acc = jnp.sum(win.astype(jnp.float32) * (w48 * inv), axis=1)
+                o_ref[0, i, j7] = acc.astype(o_ref.dtype)
+
+        return branch
+
+    def wide_branch(f_ref, wl):
+        def branch(i, g):
+            wyv = wy_ref[0, g]
+            wxv = wx_ref[0, g]
+            for j in range(p):
+                acc = None
+                for u in range(sr):
+                    k = j * sr + u
+                    lo = scal_ref[0, g, k]
+                    rows = f_ref[0, pl.ds(lo, 2), :, :]
+                    w0 = wyv[k, 0].astype(rows.dtype)
+                    w1 = wyv[k, 1].astype(rows.dtype)
+                    part = rows[0] * w0 + rows[1] * w1
+                    acc = part if acc is None else acc + part
+                t_ref[j] = jnp.pad(acc, ((0, pad_wl - acc.shape[0]), (0, 0)))
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 32, 1), 1)
+            for j7 in range(p):
+                ja = j7 * sr
+                jb = ja + sr - 1
+                lo_a = scal_ref[0, g, s + ja]
+                lo_b = scal_ref[0, g, s + jb]
+                lo8 = pl.multiple_of((jnp.minimum(lo_a, lo_b) // 8) * 8, 8)
+                win = t_ref[:, pl.ds(lo8, 32), :]
+                w32 = jnp.zeros((1, 32, 1), jnp.float32)
+                for u in range(sr):
+                    jx = j7 * sr + u
+                    d = scal_ref[0, g, s + jx] - lo8
+                    w32 = (w32 + jnp.where(lane == d, wxv[jx, 0], 0.0)
+                           + jnp.where(lane == d + 1, wxv[jx, 1], 0.0))
+                acc = jnp.sum(win.astype(jnp.float32) * (w32 * inv), axis=1)
+                o_ref[0, i, j7] = acc.astype(o_ref.dtype)
+
+        return branch
+
+    branches = [narrow_branch(f3_ref),
+                wide_branch(f3_ref, level_shapes[0][1]),
+                narrow_branch(f4_ref),
+                wide_branch(f4_ref, level_shapes[1][1]),
+                narrow_branch(f5_ref),
+                wide_branch(f5_ref, level_shapes[2][1])]
+
+    def roi_loop(i, _):
+        g = block * rb + i
+        jax.lax.switch(scal_ref[0, g, 2 * s], branches, i, g)
+        return 0
+
+    jax.lax.fori_loop(0, rb, roi_loop, 0)
+
+
 def multilevel_roi_align_mxu(features: Sequence, rois,
                              spatial_scales: Sequence[float],
                              output_size: int = 7, sampling_ratio: int = 2,
                              aligned: bool = True, roi_block: int = 50,
                              canonical_box_size: float = 224.0,
-                             canonical_level: int = 4):
+                             canonical_level: int = 4, version: int = 3):
     """Drop-in replacement for ops.roi_align.multilevel_roi_align backed by
     the Pallas banded-separable kernel (3-level FPN; other configurations
-    fall back to the gather formulation)."""
+    fall back to the gather formulation).  ``version=3`` (default) adds the
+    narrow-window path (one 48-wide window per normal-aspect ROI for both
+    passes); ``version=2`` folds the 2×2 sampling mean into both passes
+    (fewer stores, no per-window fold matmul); ``version=1`` keeps the
+    round-2 kernel for comparison."""
     from .roi_align import multilevel_roi_align
 
     p, sr = output_size, sampling_ratio
@@ -181,11 +356,55 @@ def multilevel_roi_align_mxu(features: Sequence, rois,
     wx = jnp.stack([wx0, wx1], axis=-1)
 
     shapes = [(f.shape[1], f.shape[2]) for f in features]
-    pad_wl = max(w for _, w in shapes) + 32
 
     grid = (b, r // roi_block)
+    if version == 3:
+        # W-pad so any 8-aligned _WIN window starting ≤ Wl-2 is in bounds;
+        # the pad columns only meet zero x-weights (outside the bands).
+        # Band params above used the ORIGINAL widths, preserving borders.
+        features = [jnp.pad(f, ((0, 0), (0, 0), (0, _WIN), (0, 0)))
+                    for f in features]
+        pshapes = [(f.shape[1], f.shape[2]) for f in features]
+        pad_wl = max(w for _, w in pshapes) + 32
+        xs = (jnp.min(x0, axis=-1) // 8) * 8                 # [B, R]
+        wide = (jnp.max(x0, axis=-1) - xs) > (_WIN - 2)
+        br = level * 2 + wide.astype(jnp.int32)
+        # one packed SMEM array: [y0 | x0 | branch | window start]
+        scal = jnp.concatenate(
+            [y0, x0, br[..., None], xs[..., None]], axis=-1)  # [B, R, 2s+2]
+        out = pl.pallas_call(
+            functools.partial(_kernel_v3, shapes, rb=roi_block, s=s, p=p,
+                              sr=sr, pad_wl=pad_wl),
+            out_shape=jax.ShapeDtypeStruct((b, r, p, p, c),
+                                           features[0].dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, *pshapes[0], c), lambda i, j: (i, 0, 0, 0)),
+                pl.BlockSpec((1, *pshapes[1], c), lambda i, j: (i, 0, 0, 0)),
+                pl.BlockSpec((1, *pshapes[2], c), lambda i, j: (i, 0, 0, 0)),
+                pl.BlockSpec((1, r, 2 * s + 2), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, r, s, 2), lambda i, j: (i, 0, 0, 0)),
+                pl.BlockSpec((1, r, s, 2), lambda i, j: (i, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, roi_block, p, p, c),
+                                   lambda i, j: (i, j, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((p, pad_wl, c), features[0].dtype),
+                pltpu.VMEM((p, _WIN, c), features[0].dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(features[0], features[1], features[2], scal, wy, wx)
+        return out.transpose(0, 1, 3, 2, 4)
+
+    pad_wl = max(w for _, w in shapes) + 32
+    kern = _kernel_v2 if version == 2 else _kernel
+    scratch_rows = p if version == 2 else s
     out = pl.pallas_call(
-        functools.partial(_kernel, shapes, rb=roi_block, s=s, p=p, sr=sr,
+        functools.partial(kern, shapes, rb=roi_block, s=s, p=p, sr=sr,
                           pad_wl=pad_wl),
         out_shape=jax.ShapeDtypeStruct((b, r, p, p, c), features[0].dtype),
         grid=grid,
@@ -204,7 +423,8 @@ def multilevel_roi_align_mxu(features: Sequence, rois,
         ],
         out_specs=pl.BlockSpec((1, roi_block, p, p, c),
                                lambda i, j: (i, j, 0, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((s, pad_wl, c), features[0].dtype)],
+        scratch_shapes=[pltpu.VMEM((scratch_rows, pad_wl, c),
+                                   features[0].dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024,

@@ -27,7 +27,8 @@ def test_band_params_interior_and_border():
 
 
 @pytest.mark.slow
-def test_kernel_matches_gather_interpreted():
+@pytest.mark.parametrize("version", [1, 2, 3])
+def test_kernel_matches_gather_interpreted(version):
     from jax.experimental.pallas import tpu as pltpu
 
     rng = np.random.RandomState(0)
@@ -42,13 +43,15 @@ def test_kernel_matches_gather_interpreted():
 
     ref = multilevel_roi_align(feats, boxes, scales)
     with pltpu.force_tpu_interpret_mode():
-        got = multilevel_roi_align_mxu(feats, boxes, scales, roi_block=25)
+        got = multilevel_roi_align_mxu(feats, boxes, scales, roi_block=25,
+                                       version=version)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4, rtol=1e-3)
 
 
 @pytest.mark.slow
-def test_kernel_windowed_ypass_matches_gather_interpreted():
+@pytest.mark.parametrize("version", [2, 3])
+def test_kernel_windowed_ypass_matches_gather_interpreted(version):
     """Maps wider than the x-window (W3=96 > 64) exercise the narrow
     window branches; wide-aspect boxes take the full-row fallback."""
     from jax.experimental.pallas import tpu as pltpu
@@ -73,6 +76,7 @@ def test_kernel_windowed_ypass_matches_gather_interpreted():
 
     ref = multilevel_roi_align(feats, boxes, scales)
     with pltpu.force_tpu_interpret_mode():
-        got = multilevel_roi_align_mxu(feats, boxes, scales, roi_block=25)
+        got = multilevel_roi_align_mxu(feats, boxes, scales, roi_block=25,
+                                       version=version)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4, rtol=1e-3)

@@ -21,6 +21,21 @@ def get_default_cfg() -> CfgNode:
     _C.MODEL.MASK_ON = False
     _C.MODEL.KEYPOINT_ON = False
     _C.MODEL.WEIGHT = ""
+
+    # mask / keypoint ROI heads (reference defaults.py:240-270; active
+    # only with MASK_ON / KEYPOINT_ON — no shipped VID config uses them)
+    _C.MODEL.ROI_MASK_HEAD = CfgNode()
+    _C.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION = 14
+    _C.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO = 2
+    _C.MODEL.ROI_MASK_HEAD.CONV_LAYERS = (256, 256, 256, 256)
+    _C.MODEL.ROI_MASK_HEAD.RESOLUTION = 14
+    _C.MODEL.ROI_MASK_HEAD.DILATION = 1
+    _C.MODEL.ROI_MASK_HEAD.POSTPROCESS_MASKS_THRESHOLD = 0.5
+    _C.MODEL.ROI_KEYPOINT_HEAD = CfgNode()
+    _C.MODEL.ROI_KEYPOINT_HEAD.POOLER_RESOLUTION = 14
+    _C.MODEL.ROI_KEYPOINT_HEAD.POOLER_SAMPLING_RATIO = 2
+    _C.MODEL.ROI_KEYPOINT_HEAD.CONV_LAYERS = tuple(512 for _ in range(8))
+    _C.MODEL.ROI_KEYPOINT_HEAD.NUM_CLASSES = 17
     # RGB means/stds of the torchvision-pretrained backbones
     # (diffusion_det.py:148-149); applied as (x/255 - mean/255) / (std/255).
     _C.MODEL.PIXEL_MEAN = (123.675, 116.280, 103.530)
@@ -279,6 +294,7 @@ def get_default_cfg() -> CfgNode:
     _C.TEST.BBOX_AUG.H_FLIP = True
     _C.TEST.BBOX_AUG.SCALES = ()
     _C.TEST.BBOX_AUG.MAX_SIZE = 4000
+    _C.TEST.BBOX_AUG.SCALE_H_FLIP = False
 
     # ------------------------------------------------------------------- TPU
     # Knobs that have no reference analogue: how the TPU build pads/runs.

@@ -45,15 +45,25 @@ def run_inference_video_arch(model, variables, dataset, sample_cfg: SampleConfig
                              use_seq_nms: bool = False, motion_ious=None,
                              motion_specific: bool = False,
                              shard: int = 0, num_shards: int = 1,
-                             use_bbox_aug: bool = False):
+                             use_bbox_aug: bool = False,
+                             bbox_aug_h_flip: bool = True,
+                             bbox_aug_scales: tuple = (),
+                             bbox_aug_max_size: int = 4000,
+                             bbox_aug_scale_h_flip: bool = False):
     """Evaluate a classic/MEGA-family model over a VID dataset.
 
-    ``use_bbox_aug``: TEST.BBOX_AUG h-flip ensembling, supported for the
+    ``use_bbox_aug``: TEST.BBOX_AUG ensembling, supported for the
     single-frame ``base`` method only (engine/bbox_aug.py; reference
-    bbox_aug.py:33-38) — the flipped variant's detections map back and
-    merge with class-aware NMS.  The temporal methods carry per-frame
-    state that a flipped second pass would corrupt, so the flag raises
-    there instead of being silently ignored.
+    bbox_aug.py:11-69) — detections from the h-flipped frame
+    (``H_FLIP``) and from re-resized scale variants
+    (``SCALES``/``SCALE_H_FLIP``, short side → each scale capped by
+    ``MAX_SIZE``) map back to the base resized frame and merge with
+    class-aware NMS.  Scale variants re-resize from the already-resized
+    content region (the streaming pipeline does not keep raw frames);
+    the reference re-transforms the original file, a ≤1-px sampling
+    difference.  Each distinct scale bucket compiles once.  The temporal
+    methods carry per-frame state that an augmented second pass would
+    corrupt, so the flag raises there instead of being silently ignored.
     Returns (predictions, gt_list, results)."""
     if use_bbox_aug and method != "base":
         raise ValueError(
@@ -192,20 +202,48 @@ def run_inference_video_arch(model, variables, dataset, sample_cfg: SampleConfig
                 raise ValueError(method)
 
             if use_bbox_aug and method == "base":
-                # h-flip TTA: flip the CONTENT region (not the pad), detect,
-                # map boxes back, merge (bbox_aug.py im_detect_bbox_hflip)
+                # TTA ensembling (bbox_aug.py im_detect_bbox_aug): identity
+                # + h-flip + scale variants, all mapped back to the base
+                # resized frame and merged with class-aware NMS.  Flips act
+                # on the CONTENT region (not the pad).
+                from ..data.transforms import (
+                    frame_bucket, resize_scale, transform_frame)
                 from .bbox_aug import flip_boxes_back, merge_augmented
                 rh_i, rw_i = int(whwh[1]), int(whwh[0])
-                fr = frames[f].copy()
-                fr[:rh_i, :rw_i] = fr[:rh_i, :rw_i][:, ::-1]
-                fn = jitted("base", cur.shape,
-                            make=lambda: lambda v, c, e: model.apply(
-                                v, c, (e[0], e[1]), train=False))
-                dets_f = fn(variables, jnp.asarray(fr)[None], hw)
-                d1 = _to_numpy(dets, 0, 1.0)
-                d2 = _to_numpy(dets_f, 0, 1.0)
-                d2["boxes"] = flip_boxes_back(d2["boxes"], rw_i)
-                merged = merge_augmented([d1, d2])
+                content = frames[f][:rh_i, :rw_i]
+                det_sets = [_to_numpy(dets, 0, 1.0)]
+                variants = []
+                if bbox_aug_h_flip:
+                    variants.append((None, True))
+                for s_v in bbox_aug_scales:
+                    variants.append((int(s_v), False))
+                    if bbox_aug_scale_h_flip:
+                        variants.append((int(s_v), True))
+                for ms_v, fl in variants:
+                    if ms_v is None:            # base scale
+                        fr = frames[f].copy()
+                        fr[:rh_i, :rw_i] = content[:, ::-1] if fl else content
+                        vframe, vhw = fr[None], hw
+                        vrw, vrh = rw_i, rh_i
+                    else:
+                        sc = resize_scale(rh_i, rw_i, ms_v, bbox_aug_max_size)
+                        bkt = frame_bucket(rh_i, rw_i, ms_v, bbox_aug_max_size)
+                        vrh = int(round(rh_i * sc))
+                        vrw = int(round(rw_i * sc))
+                        vframe = transform_frame(content, sc, fl, bkt)[None]
+                        vhw = jnp.asarray([vrh, vrw], jnp.float32)
+                    fn = jitted("base", vframe.shape,
+                                make=lambda: lambda v, c, e: model.apply(
+                                    v, c, (e[0], e[1]), train=False))
+                    dv = _to_numpy(fn(variables, jnp.asarray(vframe), vhw),
+                                   0, 1.0)
+                    if fl:
+                        dv["boxes"] = flip_boxes_back(dv["boxes"], vrw)
+                    if ms_v is not None:        # BoxList.resize back
+                        dv["boxes"] = dv["boxes"] * np.asarray(
+                            [rw_i / vrw, rh_i / vrh] * 2, np.float32)
+                    det_sets.append(dv)
+                merged = merge_augmented(det_sets)
                 merged["boxes"] = merged["boxes"] / scale
                 video_preds.append(merged)
                 continue

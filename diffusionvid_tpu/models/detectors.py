@@ -59,7 +59,11 @@ def build_detection_model(cfg, dtype=None):
                                anchor_sizes=tuple(rpn.ANCHOR_SIZES),
                                num_groups=nms_kw["num_groups"],
                                width_per_group=nms_kw["width_per_group"],
-                               res5_dilation=dil, dtype=dt)
+                               res5_dilation=dil,
+                               mask_on=bool(cfg.MODEL.MASK_ON),
+                               keypoint_on=bool(cfg.MODEL.KEYPOINT_ON),
+                               num_keypoints=cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_CLASSES,
+                               dtype=dt)
     if method == "dff":
         from .video_archs import DFFArch
         return DFFArch(depth=depth, num_classes=ncls,

@@ -44,6 +44,9 @@ class GeneralizedRCNN(nn.Module):
     width_per_group: int = 64
     pixel_mean: Sequence[float] = (123.675, 116.280, 103.530)
     pixel_std: Sequence[float] = (58.395, 57.120, 57.375)
+    mask_on: bool = False        # MODEL.MASK_ON → ROIMaskHead subtree
+    keypoint_on: bool = False    # MODEL.KEYPOINT_ON → ROIKeypointHead
+    num_keypoints: int = 17
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -60,6 +63,14 @@ class GeneralizedRCNN(nn.Module):
                                                    dtype=self.dtype,
                                                    name="roi_head")
         self.predictor = FastRCNNPredictor(self.num_classes, name="predictor")
+        if self.mask_on:
+            from .mask_keypoint import MaskHead
+            self.mask_head = MaskHead(num_classes=self.num_classes,
+                                      dtype=self.dtype, name="mask_head")
+        if self.keypoint_on:
+            from .mask_keypoint import KeypointHead
+            self.kp_head = KeypointHead(num_keypoints=self.num_keypoints,
+                                        dtype=self.dtype, name="kp_head")
 
     def _anchors(self, feat_hw):
         base = generate_anchors(self.anchor_sizes, self.anchor_ratios,
@@ -130,4 +141,19 @@ class GeneralizedRCNN(nn.Module):
         dets = jax.vmap(lambda cl, bd, pb, pv: postprocess_classic(
             cl, bd, pb, pv, image_hw))(cls_logits, box_deltas,
                                        props.boxes, props.valid)
-        return dets
+        if not (self.mask_on or self.keypoint_on):
+            return dets
+        # CombinedROIHeads (roi_heads.py:23-58): mask/keypoint heads run on
+        # the DETECTED boxes at test time, pooling from the C4 trunk.
+        extra = {"dets": dets}
+        if self.mask_on:
+            ml = self.mask_head([feat], (1.0 / self.anchor_stride,),
+                                dets.boxes)          # [B, D, 2m, 2m, K]
+            cls_idx = jnp.broadcast_to(
+                dets.labels[:, :, None, None, None], ml.shape[:-1] + (1,))
+            extra["masks"] = jax.nn.sigmoid(jnp.take_along_axis(
+                ml.astype(jnp.float32), cls_idx, axis=-1)[..., 0])
+        if self.keypoint_on:
+            extra["keypoints"] = self.kp_head(
+                [feat], (1.0 / self.anchor_stride,), dets.boxes)
+        return extra

@@ -54,3 +54,38 @@ def test_mega_runner(ds):
     assert len(preds) == 6
     for p in preds:
         assert np.isfinite(p["boxes"]).all()
+
+
+@pytest.mark.slow
+def test_base_runner_multiscale_tta(ds):
+    """TEST.BBOX_AUG with h-flip + a scale variant: detections from every
+    augmentation land in the same (original-image) coordinate frame and
+    merge into valid boxes (reference bbox_aug.py:40-49 scale path)."""
+    from diffusionvid_tpu.models.rcnn import GeneralizedRCNN
+    model = GeneralizedRCNN(depth=50, num_classes=31, anchor_sizes=(32, 64),
+                            pre_nms_test=64, post_nms_test=16,
+                            pre_nms_train=64, post_nms_train=16)
+    h, w = 96, 160
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, h, w, 3)), (h, w), train=False)
+    preds, gts, _ = run_inference_video_arch(
+        model, variables, ds, CFG, method="base", max_videos=1,
+        use_bbox_aug=True, bbox_aug_h_flip=True, bbox_aug_scales=(64,),
+        bbox_aug_max_size=192)
+    assert len(preds) == 6
+    anno_w, anno_h = ds.annos[0].width, ds.annos[0].height
+    for p in preds:
+        b = p["boxes"]
+        if len(b):
+            assert (b[:, 2] >= b[:, 0]).all() and (b[:, 3] >= b[:, 1]).all()
+            assert b[:, 2].max() <= anno_w + 2 and b[:, 3].max() <= anno_h + 2
+            assert b.min() >= -2
+
+
+def test_bbox_aug_unsupported_method_raises(ds):
+    from diffusionvid_tpu.models.video_archs import MEGAArch
+    model = MEGAArch(depth=50, num_classes=31, memory_size=32,
+                     pre_nms=64, post_nms=16)
+    with pytest.raises(ValueError, match="BBOX_AUG"):
+        run_inference_video_arch(model, {}, ds, CFG, method="mega",
+                                 use_bbox_aug=True)

@@ -29,9 +29,15 @@ import numpy as np
 from bench import build, make_detector, H, W, INFER_BATCH
 
 
-def run(outdir):
-    model, variables, whwh, frames = build(101, "resnet", INFER_BATCH)
-    det, state = make_detector(model, variables, INFER_BATCH, 1)
+def run(outdir, which="r101"):
+    if which == "swin":
+        model, variables, whwh, frames = build(50, "swin", 4)
+        frames = frames[:4]
+        nb = 4
+    else:
+        model, variables, whwh, frames = build(101, "resnet", INFER_BATCH)
+        nb = INFER_BATCH
+    det, state = make_detector(model, variables, nb, 1)
     for _ in range(3):
         state, dets = det.process_chunk(state, frames, whwh)
     _ = np.asarray(dets.scores)
@@ -40,7 +46,7 @@ def run(outdir):
         state, dets = det.process_chunk(state, frames, whwh)
     _ = np.asarray(dets.scores)
     dt = (time.perf_counter() - t0) / 5
-    print(f"chunk time: {dt*1000:.2f} ms  ({INFER_BATCH/dt:.1f} fps)")
+    print(f"chunk time: {dt*1000:.2f} ms  ({frames.shape[0]/dt:.1f} fps)")
 
     with jax.profiler.trace(outdir):
         for _ in range(3):
@@ -113,8 +119,9 @@ def parse(outdir):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/prof_r3")
+    ap.add_argument("--model", default="r101", choices=["r101", "swin"])
     ap.add_argument("--parse-only", action="store_true")
     args = ap.parse_args()
     if not args.parse_only:
-        run(args.out)
+        run(args.out, args.model)
     parse(args.out)

@@ -203,8 +203,11 @@ def main():
                 output_dir=output_dir, use_seq_nms=args.seq_nms,
                 motion_ious=motion_ious, motion_specific=args.motion_specific,
                 shard=args.shard, num_shards=args.num_shards,
-                use_bbox_aug=bool(cfg.TEST.BBOX_AUG.ENABLED
-                                  and cfg.TEST.BBOX_AUG.H_FLIP))
+                use_bbox_aug=bool(cfg.TEST.BBOX_AUG.ENABLED),
+                bbox_aug_h_flip=bool(cfg.TEST.BBOX_AUG.H_FLIP),
+                bbox_aug_scales=tuple(cfg.TEST.BBOX_AUG.SCALES),
+                bbox_aug_max_size=int(cfg.TEST.BBOX_AUG.MAX_SIZE),
+                bbox_aug_scale_h_flip=bool(cfg.TEST.BBOX_AUG.SCALE_H_FLIP))
 
     if args.num_shards > 1:
         # cross-shard merge: evaluate only once all shards have written

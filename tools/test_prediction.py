@@ -43,6 +43,12 @@ def main():
     logger.info(f"AP50 = {results['ap50']:.4f}")
     for k, v in results["per_motion"].items():
         logger.info(f"AP50 | motion={k:>6s} = {v:.4f}")
+    if cfg.TEST.EXPECTED_RESULTS:
+        from diffusionvid_tpu.utils import check_expected_results
+        check_expected_results({"ap50": results["ap50"]},
+                               cfg.TEST.EXPECTED_RESULTS,
+                               cfg.TEST.EXPECTED_RESULTS_SIGMA_TOL)
+        logger.info("EXPECTED_RESULTS check passed")
 
 
 if __name__ == "__main__":

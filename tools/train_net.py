@@ -234,6 +234,7 @@ def main():
 
     can_reuse = is_diffusion or (spec is not None and spec.num_global > 0)
     from diffusionvid_tpu.utils.profiling import StepProfiler
+    val_failures = 0
     prof = StepProfiler(args.profile_dir, start=start_iter + 10,
                         stop=start_iter + 15)
 
@@ -275,7 +276,11 @@ def main():
                          **{f"Train/{k}": v for k, v in vals.items()})
         if (sol.TEST_PERIOD and (it + 1) % sol.TEST_PERIOD == 0
                 and cfg.DATASETS.TEST):
-            # periodic validation (engine/trainer.py:187-207 semantics)
+            # periodic validation (engine/trainer.py:187-207 semantics).
+            # A missing val dataset is tolerable (synthetic / partial
+            # trees); anything else must not be swallowed forever — after
+            # two consecutive failures the run aborts so a permanently
+            # broken val path cannot hide behind warnings.
             try:
                 val_ds = get_dataset(cfg.DATASETS.TEST[0], is_train=False,
                                      data_dir=args.data_dir)
@@ -303,8 +308,15 @@ def main():
                         max_videos=5, logger=logger)
                 if results:
                     writer.write(it + 1, **{"Val/mAP": results["ap50"]})
+                val_failures = 0
+            except FileNotFoundError as e:
+                logger.warning(f"periodic validation skipped (no data): {e}")
             except Exception as e:
-                logger.warning(f"periodic validation skipped: {e}")
+                val_failures += 1
+                if val_failures >= 2:
+                    raise
+                logger.warning(
+                    f"periodic validation failed ({val_failures}/2): {e}")
         if (it + 1) % sol.CHECKPOINT_PERIOD == 0 or (it + 1) == sol.MAX_ITER:
             save_checkpoint(output_dir, it + 1,
                             jax.device_get(state.params),

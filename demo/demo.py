@@ -73,6 +73,10 @@ def main():
     parser.add_argument("--output-folder", default="demo_out")
     parser.add_argument("--score-thresh", type=float, default=0.5)
     parser.add_argument("--output-video", action="store_true")
+    parser.add_argument("--track-refs", action="store_true",
+                        help="MEGA/RDN: also save each frame's top-5 "
+                             "reference-frame proposal overlays "
+                             "(reference predictor.py track_refs)")
     parser.add_argument("opts", nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -285,6 +289,25 @@ def demo_classic(cfg, model, args, logger):
         labels = np.asarray(dets.labels[0])[keep]
         vis = overlay_boxes(frames_bgr[fidx], boxes, scores, labels,
                             args.score_thresh)
+        if args.track_refs and method in ("rdn", "mega"):
+            # ref-box track overlay (reference predictor.py:588-605): draw
+            # the top-5 reference-frame proposals on their source frames
+            lo = max(0, fidx - 2)
+            hi = min(n, fidx + 3)
+            rp = jitted(("refprops", hi - lo),
+                        lambda: lambda v, r, e: model.apply(
+                            v, r, (e[0], e[1]),
+                            method=type(model).ref_proposals))
+            rboxes, rvalid = rp(variables, jnp.asarray(frames[lo:hi]),
+                                jnp.asarray([rh, rw], jnp.float32))
+            for j, fid in enumerate(range(lo, hi)):
+                bset = np.asarray(rboxes[j])[np.asarray(rvalid[j])][:5]
+                img = overlay_boxes(frames_bgr[fid], bset / scale,
+                                    np.ones(len(bset)),
+                                    np.zeros(len(bset), int), 0.0)
+                cv2.imwrite(os.path.join(
+                    args.output_folder,
+                    f"{fidx:06d}_ref{j}_fid{fid}.jpg"), img)
         if args.output_video:
             if writer is None:
                 path = os.path.join(args.output_folder, "demo.avi")

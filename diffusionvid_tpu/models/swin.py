@@ -92,11 +92,16 @@ class WindowAttention(nn.Module):
 
         wqkv = self.param("qkv_weight", nn.initializers.xavier_uniform(), (3 * c, c))
         bqkv = self.param("qkv_bias", nn.initializers.zeros, (3 * c,))
-        qkv = x @ wqkv.T.astype(x.dtype) + bqkv.astype(x.dtype)
-        qkv = qkv.reshape(nb, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]           # [nB, h, n, dh]
+        # three matmuls against weight row-slices instead of one matmul +
+        # a [nB, n, 3, h, dh] reshape-transpose: the split/transpose of the
+        # fused qkv was a ~1 ms relayout copy per block in the profile
+        wd = wqkv.astype(x.dtype)
+        bd = bqkv.astype(x.dtype)
+        q = (x @ wd[:c].T + bd[:c]).reshape(nb, n, h, dh)
+        k = (x @ wd[c:2 * c].T + bd[c:2 * c]).reshape(nb, n, h, dh)
+        v = (x @ wd[2 * c:].T + bd[2 * c:]).reshape(nb, n, h, dh)
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                           preferred_element_type=jnp.float32) * (dh ** -0.5)
 
         table = self.param("relative_position_bias_table",
@@ -112,8 +117,7 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(nb, h, n, n)
 
         attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(nb, n, c)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(nb, n, c)
         wp = self.param("proj_weight", nn.initializers.xavier_uniform(), (c, c))
         bp = self.param("proj_bias", nn.initializers.zeros, (c,))
         return out @ wp.T.astype(x.dtype) + bp.astype(x.dtype)

@@ -238,6 +238,16 @@ class RDNArch(nn.Module):
         x = self.detector.box_features(feat, boxes)     # [B,R,2048]
         return nn.relu(self.reduce(x))                  # [B,R,1024]
 
+    def ref_proposals(self, images, image_hw):
+        """Reference-frame 75-proposal boxes for visualization (the demo
+        ``--track-refs`` overlay; reference demo/predictor.py:588-605 draws
+        the contributing ref boxes).  Returns (boxes [F, 75, 4],
+        valid [F, 75]) in RPN objectness order."""
+        feat = self.detector.features(images)
+        props, _ = self.detector.proposals(feat, image_hw, train=False,
+                                           ref=True)
+        return props.boxes, props.valid
+
     def _ref_pooled(self, ref_feat, image_hw):
         """75-proposal ref-frame features+boxes (rpn version="ref")."""
         ref_props, _ = self.detector.proposals(ref_feat, image_hw,

@@ -104,3 +104,71 @@ def merge_pretrained(target_params, loaded_params, skip_keys=("class_logits",)):
     treedef = jax.tree_util.tree_structure(target_params)
     leaves = [out[p] for p, _ in jax.tree_util.tree_flatten_with_path(target_params)[0]]
     return jax.tree_util.tree_unflatten(treedef, leaves), n_copied
+
+
+# ---------------------------------------------------------------------------
+# MODEL.WEIGHT resolution (DetectronCheckpointer URL/catalog handling,
+# reference ``mega_core/config/paths_catalog.py:274-334`` ModelCatalog +
+# ``mega_core/utils/checkpoint.py:120-140`` catalog://→URL→cache).
+# ---------------------------------------------------------------------------
+
+_C2_DETECTRON_URL = "https://dl.fbaipublicfiles.com/detectron"
+_C2_IMAGENET_MODELS = {
+    "MSRA/R-50": "ImageNetPretrained/MSRA/R-50.pkl",
+    "MSRA/R-50-GN": "ImageNetPretrained/47261647/R-50-GN.pkl",
+    "MSRA/R-101": "ImageNetPretrained/MSRA/R-101.pkl",
+    "MSRA/R-101-GN": "ImageNetPretrained/47592356/R-101-GN.pkl",
+    "FAIR/20171220/X-101-32x8d": "ImageNetPretrained/20171220/X-101-32x8d.pkl",
+    "FAIR/X-101-64x4d": "ImageNetPretrained/FBResNeXt/X-101-64x4d.pkl",
+}
+
+
+def resolve_weight(weight: str, cache_dir: Optional[str] = None):
+    """Resolve ``MODEL.WEIGHT`` to a local file path.
+
+    - plain path → returned if it exists;
+    - ``catalog://ImageNetPretrained/...`` → mapped to its public URL
+      (the reference downloads it; this environment has no egress, so a
+      pre-downloaded copy is looked up in ``cache_dir`` / $TORCH_HOME and
+      otherwise a clear error names the URL to fetch);
+    - ``http(s)://...`` → same local-cache lookup by basename.
+
+    Returns None for an empty string.
+    """
+    if not weight:
+        return None
+    if os.path.exists(weight):
+        return weight
+    url = None
+    if weight.startswith("catalog://"):
+        name = weight[len("catalog://"):]
+        if name.startswith("ImageNetPretrained/"):
+            key = name[len("ImageNetPretrained/"):]
+            if key not in _C2_IMAGENET_MODELS:
+                raise FileNotFoundError(
+                    f"unknown catalog entry {weight!r}; known: "
+                    f"{sorted(_C2_IMAGENET_MODELS)}")
+            url = f"{_C2_DETECTRON_URL}/{_C2_IMAGENET_MODELS[key]}"
+        else:
+            raise FileNotFoundError(
+                f"unsupported catalog namespace in {weight!r} (only "
+                f"ImageNetPretrained/* backbones are used by the VID "
+                f"configs)")
+    elif weight.startswith(("http://", "https://")):
+        url = weight
+    else:
+        raise FileNotFoundError(f"MODEL.WEIGHT {weight!r} does not exist")
+
+    base = os.path.basename(url)
+    for d in filter(None, (cache_dir,
+                           os.environ.get("DIFFUSIONVID_WEIGHTS"),
+                           os.path.join(os.environ.get("TORCH_HOME", ""),
+                                        "checkpoints"))):
+        cand = os.path.join(d, base)
+        if os.path.exists(cand):
+            return cand
+    raise FileNotFoundError(
+        f"MODEL.WEIGHT {weight!r} resolves to {url} but no local copy was "
+        f"found (no network egress here).  Download it and either pass its "
+        f"path via --pretrained, or place it under $DIFFUSIONVID_WEIGHTS/"
+        f"{base}")

@@ -121,3 +121,31 @@ def test_conversion_covers_model_tree():
     merged, n = merge_pretrained(params, conv, skip_keys=())
     assert n == 3
     assert np.all(np.asarray(merged["head"]["head0"]["linear1"]["weight"]) == 1)
+
+
+def test_resolve_weight_catalog_and_paths(tmp_path, monkeypatch):
+    """MODEL.WEIGHT resolution (reference paths_catalog.py ModelCatalog):
+    local paths pass through; catalog:// maps to the public URL and looks
+    up a local cache; anything unresolvable raises with the URL named."""
+    import pytest
+    from diffusionvid_tpu.utils import resolve_weight
+
+    assert resolve_weight("") is None
+    f = tmp_path / "w.pkl"
+    f.write_bytes(b"x")
+    assert resolve_weight(str(f)) == str(f)
+
+    # catalog entry with a cached copy under $DIFFUSIONVID_WEIGHTS
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    (cache / "R-101.pkl").write_bytes(b"x")
+    monkeypatch.setenv("DIFFUSIONVID_WEIGHTS", str(cache))
+    got = resolve_weight("catalog://ImageNetPretrained/MSRA/R-101")
+    assert got == str(cache / "R-101.pkl")
+
+    with pytest.raises(FileNotFoundError, match="dl.fbaipublicfiles"):
+        resolve_weight("catalog://ImageNetPretrained/MSRA/R-50")
+    with pytest.raises(FileNotFoundError, match="catalog entry"):
+        resolve_weight("catalog://ImageNetPretrained/NOPE/X")
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        resolve_weight("/no/such/file.pkl")

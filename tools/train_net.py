@@ -142,11 +142,17 @@ def main():
             raise ValueError(f"no train path for method {method}")
     params = variables["params"]
 
-    if args.pretrained:
-        if args.pretrained.endswith((".pth", ".pkl")):
-            conv = load_torch_checkpoint(args.pretrained)
+    pretrained = args.pretrained
+    if not pretrained and cfg.MODEL.WEIGHT:
+        # catalog:// / URL / path resolution (DetectronCheckpointer
+        # semantics; raises with the URL to fetch when no local copy)
+        from diffusionvid_tpu.utils import resolve_weight
+        pretrained = resolve_weight(cfg.MODEL.WEIGHT)
+    if pretrained:
+        if pretrained.endswith((".pth", ".pkl")):
+            conv = load_torch_checkpoint(pretrained)
         else:
-            conv = load_checkpoint(args.pretrained)
+            conv = load_checkpoint(pretrained)
         params, n = merge_pretrained(params, conv["params"],
                                      skip_keys=("class_logits", "cls_score"))
         logger.info(f"pretrained load: {n} tensors copied (class head fresh)")

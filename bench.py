@@ -166,11 +166,12 @@ def bench_e2e(det, whwh):
     preprocess, pre_whwh, _ = make_device_preprocess(720, 1213, 600, 1000)
 
     def load(i):
-        # decode is the ONLY host image work; the device_put ships the
-        # raw frame from the prefetch thread, overlapping the transfer
-        # with the main thread's dispatch
+        # decode is the ONLY host image work (raw uint8 out; resize+pad
+        # happen on device).  NOTE: per-frame jax.device_put from worker
+        # threads serializes on the tunnel RPC (measured 26 -> 17 fps);
+        # the whole chunk ships as ONE batched uint8 transfer instead.
         raw = cv2.imread(os.path.join(tmp, f"{i:06d}.JPEG"))[:, :, ::-1]
-        return jax.device_put(np.ascontiguousarray(raw))
+        return np.ascontiguousarray(raw)
 
     def chunks():
         frames_ahead = prefetch_map(load, range(n_frames), workers=8,
@@ -179,7 +180,7 @@ def bench_e2e(det, whwh):
         for img in frames_ahead:
             imgs.append(img)
             if len(imgs) == INFER_BATCH:
-                yield jnp.stack(imgs)
+                yield np.stack(imgs)
                 imgs = []
 
     state = det.init_state(jax.random.PRNGKey(7))

@@ -17,3 +17,16 @@ Design principles (TPU-first):
 """
 
 __version__ = "0.1.0"
+
+# Restore documented JAX_PLATFORMS semantics: the axon TPU plugin's
+# registration hook calls jax.config.update("jax_platforms", "axon,cpu")
+# at interpreter start, which silently overrides the user's env var —
+# JAX_PLATFORMS=cpu would still grab the TPU.  Push the env var's choice
+# back after jax loads (tests/conftest.py does the same for the suite).
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+del _os

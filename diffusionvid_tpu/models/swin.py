@@ -101,15 +101,23 @@ class WindowAttention(nn.Module):
         k = (x @ wd[c:2 * c].T + bd[c:2 * c]).reshape(nb, n, h, dh)
         v = (x @ wd[2 * c:].T + bd[2 * c:]).reshape(nb, n, h, dh)
 
+        # scores cross HBM in the compute dtype: the [nB, h, 49, 49] score
+        # tensor is far too big for VMEM on the low-C stages (~125 MB fp32
+        # at stage0 for a 4-frame chunk) so the matmul→softmax hop is an
+        # HBM round-trip — emit bf16 from the MXU epilogue (accumulation
+        # is fp32 on the MXU regardless) and upcast inside the softmax
+        # fusion.  Matches the reference's fp16-autocast scores; in fp32
+        # mode (dtype=float32, the parity tests) this is a no-op.
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                           preferred_element_type=jnp.float32) * (dh ** -0.5)
+        attn = attn.astype(x.dtype)
 
         table = self.param("relative_position_bias_table",
                            nn.initializers.normal(0.02),
                            ((2 * w - 1) ** 2, h))
         idx = jnp.asarray(_relative_position_index(w))
         bias = table[idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
-        attn = attn + bias[None].astype(attn.dtype)
+        attn = attn.astype(jnp.float32) + bias[None]
 
         if mask is not None:
             nw = mask.shape[0]
@@ -133,17 +141,31 @@ class SwinBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        """x [B, H, W, C] (H, W arbitrary; padded internally)."""
-        b, h, wd, c = x.shape
+    def __call__(self, x, orig_hw=None, train: bool = False):
+        """x [B, Hp, Wp, C], already padded to window multiples by the
+        stage loop (``orig_hw`` = true (H, W); None ⇒ no padding).
+
+        The residual stream stays PADDED across the whole stage — the
+        per-block pad/crop copies the reference pays
+        (swintransformer.py:256-292: F.pad after norm1, crop after
+        window_reverse) are hoisted out of the block loop.  Numerics are
+        unchanged: attention is the only cross-pixel op, and its input's
+        pad region is re-zeroed here after norm1, which is exactly the
+        reference's "pad the norm1 output with zeros".  Everything else
+        (LN/MLP/residual) is per-pixel, and the stage crops before any
+        consumer.  On TPU the per-block pad/crop were full-map relayout
+        copies on the big low-C stages — pure win."""
+        b, hp, wp, c = x.shape
+        h, wd = orig_hw if orig_hw is not None else (hp, wp)
         w = self.window
-        hp = -(-h // w) * w
-        wp = -(-wd // w) * w
         shift = self.shift if min(hp, wp) > w else 0
 
         shortcut = x
         y = LayerNorm(c, name="norm1")(x)
-        y = jnp.pad(y, ((0, 0), (0, hp - h), (0, wp - wd), (0, 0)))
+        if (hp, wp) != (h, wd):
+            valid = np.zeros((1, hp, wp, 1), np.float32)
+            valid[:, :h, :wd] = 1.0
+            y = y * jnp.asarray(valid, y.dtype)
 
         if shift > 0:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
@@ -157,7 +179,6 @@ class SwinBlock(nn.Module):
 
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
-        y = y[:, :h, :wd]
 
         def droppath(r, val):
             if not train or self.drop_path == 0.0:
@@ -242,15 +263,23 @@ class SwinTransformer(nn.Module):
         dpr = np.linspace(0, self.drop_path_rate, total)
         outs = {}
         blk = 0
+        w = self.window
         for s, depth in enumerate(self.depths):
             dim = ed * (2 ** s)
+            h, wd = x.shape[1], x.shape[2]
+            hp, wp = -(-h // w) * w, -(-wd // w) * w
+            if (hp, wp) != (h, wd):        # pad ONCE per stage, not per block
+                x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - wd), (0, 0)))
             for i in range(depth):
                 x = SwinBlock(dim, self.num_heads[s], self.window,
                               shift=0 if i % 2 == 0 else self.window // 2,
                               mlp_ratio=self.mlp_ratio,
                               drop_path=float(dpr[blk]), dtype=self.dtype,
-                              name=f"layers{s}.blocks{i}")(x, train=train)
+                              name=f"layers{s}.blocks{i}")(
+                                  x, orig_hw=(h, wd), train=train)
                 blk += 1
+            if (hp, wp) != (h, wd):
+                x = x[:, :h, :wd]
             if s in self.out_indices:
                 outs[f"swin{s}"] = LayerNorm(dim, name=f"norm{s}")(x)
             if s < len(self.depths) - 1:

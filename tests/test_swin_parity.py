@@ -176,7 +176,12 @@ class TorchSwin(tnn.Module):
 
 
 @pytest.mark.slow
-def test_swin_forward_parity():
+@pytest.mark.parametrize("size", [(56, 56), (64, 96)])
+def test_swin_forward_parity(size):
+    """(64, 96) hits the pad path at every stage (16×24 → 21×28,
+    8×12 → 14×14) WITH shifted windows — the torch oracle pads per block
+    (the reference strategy) while our trunk pads per stage with a
+    re-zeroed attention input, and the outputs must agree exactly."""
     torch.manual_seed(0)
     dec = TorchSwin().eval()
     with torch.no_grad():
@@ -196,7 +201,7 @@ def test_swin_forward_parity():
     model = SwinTransformer(embed_dim=EMBED, depths=DEPTHS, num_heads=HEADS,
                             window=WIN, out_indices=(0, 1),
                             dtype=jnp.float32)
-    x = np.random.RandomState(1).normal(0, 1, (2, 56, 56, 3)).astype(np.float32)
+    x = np.random.RandomState(1).normal(0, 1, (2, *size, 3)).astype(np.float32)
     variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x))
     merged, n = merge_pretrained(variables["params"],
                                  conv["params"]["backbone"], skip_keys=())

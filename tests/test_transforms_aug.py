@@ -261,3 +261,43 @@ def test_device_preprocess_matches_host_transform():
     assert (got[:, rh:] == 0).all() and (got[:, :, rw:] == 0).all()
     err = np.abs(got[:, :rh, :rw] - want[:, :rh, :rw].astype(np.float32))
     assert err.mean() < 0.5 and err.max() <= 4.0, (err.mean(), err.max())
+
+
+def test_yuv_device_preprocess_matches_cv2():
+    """The device I420 → RGB conversion inverts cv2.COLOR_BGR2YUV_I420
+    the same way cv2.COLOR_YUV2RGB_I420 does (BT.601 video range,
+    nearest 2x2 chroma upsample): ±1.5/255 on the content region, exact
+    zero padding, and an odd resize width exercises the even-pad crop."""
+    import cv2
+
+    from diffusionvid_tpu.data.transforms import resize_scale
+    from diffusionvid_tpu.engine.preprocess import make_yuv_device_preprocess
+
+    rng = np.random.RandomState(1)
+    h0, w0 = 90, 143                       # odd resized width downstream
+    raw = np.stack([cv2.GaussianBlur(r, (0, 0), 2) for r in
+                    rng.randint(0, 255, (2, h0, w0, 3), np.uint8)])
+
+    encode, fn, whwh, bucket = make_yuv_device_preprocess(
+        h0, w0, min_size=64, max_size=128)
+    packed = np.stack([encode(r) for r in raw])
+    assert packed.dtype == np.uint8
+    got = np.asarray(fn(packed))
+
+    scale = resize_scale(h0, w0, 64, 128)
+    rh, rw = int(round(h0 * scale)), int(round(w0 * scale))
+    np.testing.assert_allclose(whwh, [rw, rh, rw, rh])
+    assert got.shape == (2, *bucket, 3)
+    assert (got[:, rh:] == 0).all() and (got[:, :, rw:] == 0).all()
+
+    # oracle: cv2's own inverse of the exact packed buffer (RGB order)
+    want = np.stack([cv2.cvtColor(p, cv2.COLOR_YUV2RGB_I420) for p in packed])
+    err = np.abs(got[:, :rh, :rw] - want[:, :rh + (rh & 1), :rw + (rw & 1)]
+                 [:, :rh, :rw].astype(np.float32))
+    assert err.mean() < 0.5 and err.max() <= 1.5, (err.mean(), err.max())
+
+    # end-to-end sanity vs the plain resized RGB frame: chroma subsample
+    # error only (smooth image -> small)
+    direct = np.stack([cv2.resize(r, (rw, rh))[:, :, ::-1] for r in raw])
+    err2 = np.abs(got[:, :rh, :rw] - direct.astype(np.float32))
+    assert err2.mean() < 4.0 and err2.max() < 45.0, (err2.mean(), err2.max())

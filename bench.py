@@ -82,9 +82,15 @@ def make_detector(model, variables, infer_batch, sample_step):
     return det, state
 
 
-def stream_fps(det, state, frames, whwh, infer_batch, warmup=2, chunks=10):
+def stream_fps(det, state, frames, whwh, infer_batch, warmup=2, chunks=40):
     # NOTE: under the axon tunnel block_until_ready is not a reliable
-    # barrier — force a small host transfer instead.
+    # barrier — force a small host transfer instead.  The final blocking
+    # transfer costs one tunnel round-trip (~40 ms, measured) regardless
+    # of chunk count, so the chunk count must be large enough to amortize
+    # it: profiling shows the device runs chunks gap-free back-to-back
+    # (inter-chunk device gap 0.01 ms), i.e. the steady-state throughput
+    # is chunks/device-time, and the tail RTT is a fixed measurement
+    # artifact (~4 ms/chunk at chunks=10, ~1 ms/chunk at 40).
     for _ in range(warmup):
         state, dets = det.process_chunk(state, frames, whwh)
     _ = np.asarray(dets.scores)
@@ -98,7 +104,7 @@ def stream_fps(det, state, frames, whwh, infer_batch, warmup=2, chunks=10):
 def bench_swinb():
     model, variables, whwh, frames = build(50, "swin", 4)
     det, state = make_detector(model, variables, 4, 1)
-    fps = stream_fps(det, state, frames[:4], whwh, 4, chunks=8)
+    fps = stream_fps(det, state, frames[:4], whwh, 4, chunks=30)
     emit("diffusionvid_swinb_x1_stream_inference", fps, "frames/sec/chip",
          REFERENCE_FPS_SWIN)
 
@@ -159,7 +165,7 @@ def bench_e2e(det, whwh):
 
     tmp = tempfile.mkdtemp(prefix="bench_frames_")
     rng = np.random.RandomState(3)
-    n_frames = INFER_BATCH * 8
+    n_frames = INFER_BATCH * 24
     # video-like texture (blurred noise; JPEG is itself 4:2:0, so the
     # I420 re-encode loses nothing a video decoder would have kept)
     img = (rng.uniform(0, 255, (720, 1213, 3))).astype(np.uint8)
@@ -216,11 +222,11 @@ def main():
     model, variables, whwh, frames = build(101, "resnet", INFER_BATCH)
     det = bench_r101(model, variables, whwh, frames, 1,
                      "diffusionvid_r101_x1_stream_inference", REFERENCE_FPS,
-                     chunks=10)
+                     chunks=40)
     bench_train(model, variables)
     bench_r101(model, variables, whwh, frames, 4,
                "diffusionvid_r101_x4_stream_inference", REFERENCE_FPS_X4,
-               chunks=4)
+               chunks=10)
     bench_e2e(det, whwh)
     try:
         bench_swinb()   # biggest compile; failures shouldn't mask the rest
@@ -228,7 +234,7 @@ def main():
         print(f"# swinb bench skipped: {e}", flush=True)
     bench_r101(model, variables, whwh, frames, 1,
                "diffusionvid_r101_x1_stream_inference", REFERENCE_FPS,
-               chunks=10)
+               chunks=40)
 
 
 if __name__ == "__main__":

@@ -121,29 +121,69 @@ class MultiheadAttention(nn.Module):
         return Linear(d, dtype=self.dtype, name="out_proj")(out)
 
 
-class HalvedLinear(nn.Module):
-    """Dense layer emitting its two output halves as separate matmuls.
+class DynParamLinear(nn.Module):
+    """The DynamicConv parameter generator, layout-engineered for the MXU.
 
     Parameter tree and torch layout are identical to ``Linear`` (one
-    weight [features, in], one bias), but the halves are produced by two
-    matmuls against contiguous row-slices of the weight rather than one
-    matmul followed by ``jnp.split`` — the split of the [S, 2·d·dd]
-    activation is a 300+ MB HBM round-trip per decoder stage (profiled
-    ~0.5 ms/stage) that XLA cannot fuse away."""
+    weight [2·d·dd, in], one bias — torch row order ``(half, d, dd)``),
+    but the two halves are produced by separate matmuls against
+    row-slices of the weight rather than one matmul + ``jnp.split`` (the
+    split of the [S, 2·d·dd] activation is a 300+ MB HBM round-trip per
+    decoder stage), AND the rows of each half are pre-permuted so the
+    generated per-sample projections come out TRANSPOSED — [S, dd, d]
+    and [S, d, dd] with the contraction dim minor on both sides of the
+    batched matmuls that consume them.  Without this, XLA re-lays out
+    the [S, d, dd] activation per stage (profiled ~0.2 ms/stage); the
+    row permute touches only the 16 MB weight instead.  Exact same
+    arithmetic (a row permutation commutes with the matmul)."""
 
-    features: int
+    d: int
+    dd: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         in_f = x.shape[-1]
+        d, dd = self.d, self.dd
+        h = d * dd
+        w = self.param("weight", nn.initializers.xavier_uniform(),
+                       (2 * h, in_f))
+        b = self.param("bias", nn.initializers.zeros, (2 * h,))
+        w1 = w[:h].reshape(d, dd, in_f).transpose(1, 0, 2).reshape(h, in_f)
+        b1 = b[:h].reshape(d, dd).T.reshape(h)
+        w2 = w[h:].reshape(dd, d, in_f).transpose(1, 0, 2).reshape(h, in_f)
+        b2 = b[h:].reshape(dd, d).T.reshape(h)
+        h1 = x @ w1.astype(self.dtype).T + b1.astype(self.dtype)
+        h2 = x @ w2.astype(self.dtype).T + b2.astype(self.dtype)
+        return (h1.reshape(-1, dd, d), h2.reshape(-1, d, dd))
+
+
+class OutLayer(nn.Module):
+    """DynamicConv out-projection over the flattened [49·D] features.
+
+    Same parameter as ``Linear`` (torch weight [D, 49·D], columns in
+    (y, x, c) flatten order).  With ``x_major`` the input positions are
+    (x, y)-ordered, so the weight's position blocks are transposed at
+    use — a 12.8 MB weight relayout instead of a [S, 49·D] activation
+    relayout."""
+
+    features: int
+    pooler_resolution: int = 7
+    x_major: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        p = self.pooler_resolution
         w = self.param("weight", nn.initializers.xavier_uniform(),
                        (self.features, in_f))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
-        h = self.features // 2
-        wd = w.astype(self.dtype)
-        bd = b.astype(self.dtype)
-        return (x @ wd[:h].T + bd[:h], x @ wd[h:].T + bd[h:])
+        if self.x_major:
+            c = in_f // (p * p)
+            w = (w.reshape(self.features, p, p, c).transpose(0, 2, 1, 3)
+                 .reshape(self.features, in_f))
+        return x @ w.T.astype(self.dtype) + b.astype(self.dtype)
 
 
 class DynamicConv(nn.Module):
@@ -157,26 +197,34 @@ class DynamicConv(nn.Module):
     hidden_dim: int = 256
     dim_dynamic: int = 64
     pooler_resolution: int = 7
+    x_major: bool = False   # roi positions are x-major: permute out_layer cols
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, pro_features, roi_features):
-        """pro_features [S, D]; roi_features [S, 49, D] → [S, D]."""
-        d, dd = self.hidden_dim, self.dim_dynamic
-        h1, h2 = HalvedLinear(2 * d * dd, dtype=self.dtype,
-                              name="dynamic_layer")(pro_features)
-        p1 = h1.reshape(-1, d, dd)
-        p2 = h2.reshape(-1, dd, d)
+        """pro_features [S, D]; roi_features [S, 49, D] → [S, D].
 
-        x = jnp.einsum("spd,sde->spe", roi_features, p1,
+        With ``x_major=True`` the 49 pooled positions arrive transposed
+        ([px, py] instead of the torch [py, px] flatten order); every op
+        here is permutation-invariant over positions except the final
+        flatten → ``out_layer`` matmul, where the permutation is folded
+        into the (much smaller) weight instead of relaying out the
+        [S, 49·D] activation."""
+        d, dd = self.hidden_dim, self.dim_dynamic
+        p1t, p2t = DynParamLinear(d, dd, dtype=self.dtype,
+                                  name="dynamic_layer")(pro_features)
+        # p1t [S, dd, d] == p1^T, p2t [S, d, dd] == p2^T: both batched
+        # matmuls contract the minor dim of each operand (NT form)
+        x = jnp.einsum("spd,sed->spe", roi_features, p1t,
                        preferred_element_type=jnp.float32).astype(roi_features.dtype)
         x = nn.relu(LayerNorm(dd, name="norm1")(x))
-        x = jnp.einsum("spe,sed->spd", x, p2,
+        x = jnp.einsum("spe,sde->spd", x, p2t,
                        preferred_element_type=jnp.float32).astype(roi_features.dtype)
         x = nn.relu(LayerNorm(d, name="norm2")(x))
 
         x = x.reshape(x.shape[0], -1)  # [S, 49*D]
-        x = Linear(d, dtype=self.dtype, name="out_layer")(x)
+        x = OutLayer(d, self.pooler_resolution, self.x_major,
+                     dtype=self.dtype, name="out_layer")(x)
         return nn.relu(LayerNorm(d, name="norm3")(x))
 
 
@@ -212,11 +260,16 @@ class RCNNHead(nn.Module):
         d = self.d_model
         b, n = bboxes.shape[:2]
 
+        # x_major: take the Pallas kernel's native flat [B, N, 49, C]
+        # store order ((px, py)-major); every consumer below is
+        # permutation-invariant over the 49 positions except DynamicConv's
+        # out_layer, which folds the transposition into its weight
+        # (saves the y/x transpose + 7·7→49 re-pad relayouts per stage).
         roi = multilevel_roi_align_auto(
             features, bboxes, spatial_scales,
             output_size=self.pooler_resolution,
-            sampling_ratio=self.sampling_ratio,
-        )  # [B, N, 7, 7, C]
+            sampling_ratio=self.sampling_ratio, x_major=True,
+        )  # [B, N, 49, C] (px, py)-major
         roi = roi.reshape(b * n, self.pooler_resolution ** 2, d)
 
         if pro_features is None:
@@ -229,7 +282,8 @@ class RCNNHead(nn.Module):
 
         # Dynamic instance interaction with the pooled features.
         inter = DynamicConv(d, pooler_resolution=self.pooler_resolution,
-                            dtype=self.dtype, name="inst_interact")(
+                            x_major=True, dtype=self.dtype,
+                            name="inst_interact")(
             x.reshape(b * n, d), roi)
         x = LayerNorm(d, name="norm2")(x + inter.reshape(b, n, d))
 

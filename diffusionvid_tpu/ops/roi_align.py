@@ -178,25 +178,32 @@ import functools
 import jax
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _pallas_roi_align_diff(features, rois, spatial_scales, output_size,
-                           sampling_ratio):
+                           sampling_ratio, x_major):
     from .roi_align_pallas import multilevel_roi_align_mxu
     return multilevel_roi_align_mxu(list(features), rois, spatial_scales,
-                                    output_size, sampling_ratio)
+                                    output_size, sampling_ratio,
+                                    x_major=x_major)
 
 
-def _pra_fwd(features, rois, spatial_scales, output_size, sampling_ratio):
+def _pra_fwd(features, rois, spatial_scales, output_size, sampling_ratio,
+             x_major):
     out = _pallas_roi_align_diff(features, rois, spatial_scales, output_size,
-                                 sampling_ratio)
+                                 sampling_ratio, x_major)
     return out, (features, rois)
 
 
-def _pra_bwd(spatial_scales, output_size, sampling_ratio, res, g):
+def _pra_bwd(spatial_scales, output_size, sampling_ratio, x_major, res, g):
     """Backward via the gather formulation's transpose (XLA scatter).
     Box gradients are zero — the reference CUDA ROIAlign backward also
     only produces feature gradients (ROIAlign_cuda.cu)."""
     features, rois = res
+    if x_major:
+        # flat (px, py)-major cotangent → [B, R, py, px, C] y-major
+        b, r, pp, c = g.shape
+        p = int(pp ** 0.5)
+        g = g.reshape(b, r, p, p, c).transpose(0, 1, 3, 2, 4)
     _, vjp = jax.vjp(
         lambda f: multilevel_roi_align(list(f), rois, spatial_scales,
                                        output_size, sampling_ratio),
@@ -210,14 +217,24 @@ _pallas_roi_align_diff.defvjp(_pra_fwd, _pra_bwd)
 
 def multilevel_roi_align_auto(features, rois, spatial_scales,
                               output_size: int = 7, sampling_ratio: int = 2,
-                              aligned: bool = True, **kw):
+                              aligned: bool = True, x_major: bool = False,
+                              **kw):
     """Backend dispatch: the Pallas banded kernel on TPU (3-level FPN) with
     a gather-transpose backward; the XLA gather formulation elsewhere
-    (CPU tests, odd configs)."""
+    (CPU tests, odd configs).  ``x_major=True`` returns the pooled grid
+    FLAT as [B, R, p·p, C] with positions (px, py)-major (the Pallas
+    kernel's native store order, saving relayout copies on TPU) —
+    callers must fold the 49-permutation into any order-sensitive
+    consumer."""
     if (jax.default_backend() in ("tpu", "axon") and len(features) == 3
             and aligned and rois.shape[1] % 50 == 0):
         return _pallas_roi_align_diff(tuple(features), rois,
                                       tuple(spatial_scales), output_size,
-                                      sampling_ratio)
-    return multilevel_roi_align(features, rois, spatial_scales, output_size,
-                                sampling_ratio, aligned)
+                                      sampling_ratio, x_major)
+    out = multilevel_roi_align(features, rois, spatial_scales, output_size,
+                               sampling_ratio, aligned)
+    if x_major:
+        b, r = out.shape[:2]
+        return (out.transpose(0, 1, 3, 2, 4)
+                .reshape(b, r, output_size * output_size, -1))
+    return out

@@ -211,6 +211,9 @@ def _kernel_v3(level_shapes, f3_ref, f4_ref, f5_ref, scal_ref, wy_ref,
     full [2, Wl, C] rows (2.7× less VPU work on p3) and the x-pass reads
     the static window scratch with no per-column dynamic slice.  Aspect-
     extreme ROIs (x extent > _WIN-2 cells) take the full-row branch.
+    The output tile is FLAT [1, RB, p·p, C] in (px, py)-major store
+    order (each x-pass column writes p contiguous rows), so the pooled
+    grid needs no post-kernel 7×7 reshape.
     All per-ROI scalars ride ONE packed SMEM array ``scal_ref``
     [1, R, 2s+2] — cols [0,s) y band starts, [s,2s) x band starts, 2s the
     branch index (level*2 + 1 if wide), 2s+1 the aligned window start —
@@ -250,7 +253,7 @@ def _kernel_v3(level_shapes, f3_ref, f4_ref, f5_ref, scal_ref, wy_ref,
                     w48 = (w48 + jnp.where(lane == d, wxv[jx, 0], 0.0)
                            + jnp.where(lane == d + 1, wxv[jx, 1], 0.0))
                 acc = jnp.sum(win.astype(jnp.float32) * (w48 * inv), axis=1)
-                o_ref[0, i, j7] = acc.astype(o_ref.dtype)
+                o_ref[0, i, j7 * p:(j7 + 1) * p] = acc.astype(o_ref.dtype)
 
         return branch
 
@@ -285,7 +288,7 @@ def _kernel_v3(level_shapes, f3_ref, f4_ref, f5_ref, scal_ref, wy_ref,
                     w32 = (w32 + jnp.where(lane == d, wxv[jx, 0], 0.0)
                            + jnp.where(lane == d + 1, wxv[jx, 1], 0.0))
                 acc = jnp.sum(win.astype(jnp.float32) * (w32 * inv), axis=1)
-                o_ref[0, i, j7] = acc.astype(o_ref.dtype)
+                o_ref[0, i, j7 * p:(j7 + 1) * p] = acc.astype(o_ref.dtype)
 
         return branch
 
@@ -309,14 +312,21 @@ def multilevel_roi_align_mxu(features: Sequence, rois,
                              output_size: int = 7, sampling_ratio: int = 2,
                              aligned: bool = True, roi_block: int = 50,
                              canonical_box_size: float = 224.0,
-                             canonical_level: int = 4, version: int = 3):
+                             canonical_level: int = 4, version: int = 3,
+                             x_major: bool = False):
     """Drop-in replacement for ops.roi_align.multilevel_roi_align backed by
     the Pallas banded-separable kernel (3-level FPN; other configurations
     fall back to the gather formulation).  ``version=3`` (default) adds the
     narrow-window path (one 48-wide window per normal-aspect ROI for both
     passes); ``version=2`` folds the 2×2 sampling mean into both passes
     (fewer stores, no per-window fold matmul); ``version=1`` keeps the
-    round-2 kernel for comparison."""
+    round-2 kernel for comparison.  ``x_major=True`` returns the kernel's
+    native store order as a FLAT [B, R, p·p, C] tile (positions
+    (px, py)-major, no 7×7 split) — callers that are permutation-
+    invariant over the pooled grid (DynamicConv, which folds the
+    permutation into its out-projection weight) skip two HBM relayouts:
+    the y/x transpose AND the sublane re-pad of merging 7·7 → 49
+    (~0.4 ms per decoder stage together)."""
     from .roi_align import multilevel_roi_align
 
     p, sr = output_size, sampling_ratio
@@ -324,8 +334,11 @@ def multilevel_roi_align_mxu(features: Sequence, rois,
     b, r = rois.shape[:2]
     c = features[0].shape[-1]
     if len(features) != 3 or r % roi_block != 0:
-        return multilevel_roi_align(features, rois, spatial_scales,
-                                    output_size, sampling_ratio, aligned)
+        out = multilevel_roi_align(features, rois, spatial_scales,
+                                   output_size, sampling_ratio, aligned)
+        if x_major:
+            return out.transpose(0, 1, 3, 2, 4).reshape(b, r, p * p, c)
+        return out
 
     min_level = int(round(-math.log2(spatial_scales[0])))
     level = fpn_level_assignment(rois, 3, min_level, canonical_box_size,
@@ -375,7 +388,7 @@ def multilevel_roi_align_mxu(features: Sequence, rois,
         out = pl.pallas_call(
             functools.partial(_kernel_v3, shapes, rb=roi_block, s=s, p=p,
                               sr=sr, pad_wl=pad_wl),
-            out_shape=jax.ShapeDtypeStruct((b, r, p, p, c),
+            out_shape=jax.ShapeDtypeStruct((b, r, p * p, c),
                                            features[0].dtype),
             grid=grid,
             in_specs=[
@@ -387,8 +400,8 @@ def multilevel_roi_align_mxu(features: Sequence, rois,
                 pl.BlockSpec((1, r, s, 2), lambda i, j: (i, 0, 0, 0)),
                 pl.BlockSpec((1, r, s, 2), lambda i, j: (i, 0, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, roi_block, p, p, c),
-                                   lambda i, j: (i, j, 0, 0, 0)),
+            out_specs=pl.BlockSpec((1, roi_block, p * p, c),
+                                   lambda i, j: (i, j, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((p, pad_wl, c), features[0].dtype),
                 pltpu.VMEM((p, _WIN, c), features[0].dtype),
@@ -398,7 +411,12 @@ def multilevel_roi_align_mxu(features: Sequence, rois,
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
         )(features[0], features[1], features[2], scal, wy, wx)
-        return out.transpose(0, 1, 3, 2, 4)
+        if x_major:
+            # flat [B, R, 49, C], positions (px, py)-major — the kernel's
+            # contiguous store order; splitting 49 back into [7, 7] would
+            # re-pad sublanes (a relayout the flat consumer never needs)
+            return out
+        return (out.reshape(b, r, p, p, c).transpose(0, 1, 3, 2, 4))
 
     pad_wl = max(w for _, w in shapes) + 32
     kern = _kernel_v2 if version == 2 else _kernel
@@ -432,4 +450,6 @@ def multilevel_roi_align_mxu(features: Sequence, rois,
     )(features[0], features[1], features[2], level[..., None], y0, x0, wy, wx)
 
     # kernel emits x-major [.., j7, i7, C]: transpose the tiny 7x7 pair
+    if x_major:
+        return out.reshape(b, r, p * p, c)
     return out.transpose(0, 1, 3, 2, 4)

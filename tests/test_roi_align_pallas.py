@@ -80,3 +80,30 @@ def test_kernel_windowed_ypass_matches_gather_interpreted(version):
                                        version=version)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_kernel_x_major_flat_matches_gather_interpreted():
+    """x_major=True returns the kernel's native FLAT [B, R, 49, C] tile
+    with positions (px, py)-major — must equal the y-major gather result
+    transposed and flattened."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.RandomState(2)
+    f, p_, d = 1, 50, 256
+    feats = [jnp.asarray(rng.randn(f, 64, 96, d).astype(np.float32)),
+             jnp.asarray(rng.randn(f, 32, 48, d).astype(np.float32)),
+             jnp.asarray(rng.randn(f, 16, 24, d).astype(np.float32))]
+    scales = (1 / 8, 1 / 16, 1 / 32)
+    boxes = rng.uniform(0, 400, (f, p_, 4)).astype(np.float32)
+    boxes[..., 2:] = boxes[..., :2] + rng.uniform(8, 80, (f, p_, 2))
+    boxes = jnp.asarray(boxes)
+
+    ref = multilevel_roi_align(feats, boxes, scales)      # [B, R, 7, 7, C]
+    ref_flat = np.asarray(ref).transpose(0, 1, 3, 2, 4).reshape(f, p_, 49, d)
+    with pltpu.force_tpu_interpret_mode():
+        got = multilevel_roi_align_mxu(feats, boxes, scales, roi_block=25,
+                                       x_major=True)
+    assert got.shape == (f, p_, 49, d)
+    np.testing.assert_allclose(np.asarray(got), ref_flat,
+                               atol=2e-4, rtol=1e-3)

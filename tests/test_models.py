@@ -179,3 +179,31 @@ def test_plain_diffusiondet_no_cond_stage():
                             method=DiffusionDetArch.full_forward_test)
     assert lg.shape == (b, 8, 5)
     assert np.isfinite(np.asarray(lg)).all()
+
+
+def test_stem_s2d_matches_direct_conv():
+    """The W-only space-to-depth stem must equal the direct 7x7/s2 conv
+    exactly (same arithmetic, reordered).  Even extents take the s2d
+    path; odd extents fall back to direct — both checked against the
+    direct formulation."""
+    from diffusionvid_tpu.models.resnet import StemConv
+    import jax.numpy as jnp
+    from jax import lax
+
+    rng = np.random.RandomState(0)
+    stem = StemConv(features=64, dtype=jnp.float32)
+
+    def direct(x, kw):
+        w_hwio = jnp.transpose(kw, (2, 3, 1, 0))
+        return lax.conv_general_dilated(
+            x, w_hwio, (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    for h, w in [(64, 96), (63, 96), (64, 95)]:
+        x = jnp.asarray(rng.randn(2, h, w, 3).astype(np.float32))
+        params = stem.init(jax.random.PRNGKey(3), x)
+        got = stem.apply(params, x)
+        ref = direct(x, params["params"]["weight"])
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-5)

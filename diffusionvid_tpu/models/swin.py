@@ -75,7 +75,14 @@ def window_reverse(x, w: int, b: int, h: int, wd: int):
 
 
 class WindowAttention(nn.Module):
-    """W-MSA with relative position bias (swintransformer.py:86+)."""
+    """W-MSA with relative position bias (swintransformer.py:86+).
+
+    Takes the (padded, pre-rolled) feature MAP — windowing happens
+    inside: on TPU via the fused Pallas kernel
+    (`ops/swin_attention_pallas.py`, no partition/reverse relayouts, no
+    score-tensor HBM round-trip), elsewhere via window_partition + the
+    batched-einsum formulation.  Both share qkv/proj, which are plain
+    per-token matmuls in map layout."""
 
     dim: int
     window: int
@@ -84,8 +91,9 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None):
-        """x [nB, w², C]; mask [nW, w², w²] or None."""
-        nb, n, c = x.shape
+        """x [B, Hp, Wp, C]; mask [nW, w², w²] or None → [B, Hp, Wp, C]."""
+        b, hp, wpx, c = x.shape
+        n = self.window * self.window
         h = self.num_heads
         dh = c // h
         w = self.window
@@ -93,39 +101,50 @@ class WindowAttention(nn.Module):
         wqkv = self.param("qkv_weight", nn.initializers.xavier_uniform(), (3 * c, c))
         bqkv = self.param("qkv_bias", nn.initializers.zeros, (3 * c,))
         # three matmuls against weight row-slices instead of one matmul +
-        # a [nB, n, 3, h, dh] reshape-transpose: the split/transpose of the
-        # fused qkv was a ~1 ms relayout copy per block in the profile
+        # a [B, Hp, Wp, 3, h, dh] reshape-transpose: the split/transpose of
+        # the fused qkv was a ~1 ms relayout copy per block in the profile
         wd = wqkv.astype(x.dtype)
         bd = bqkv.astype(x.dtype)
-        q = (x @ wd[:c].T + bd[:c]).reshape(nb, n, h, dh)
-        k = (x @ wd[c:2 * c].T + bd[c:2 * c]).reshape(nb, n, h, dh)
-        v = (x @ wd[2 * c:].T + bd[2 * c:]).reshape(nb, n, h, dh)
-
-        # scores cross HBM in the compute dtype: the [nB, h, 49, 49] score
-        # tensor is far too big for VMEM on the low-C stages (~125 MB fp32
-        # at stage0 for a 4-frame chunk) so the matmul→softmax hop is an
-        # HBM round-trip — emit bf16 from the MXU epilogue (accumulation
-        # is fp32 on the MXU regardless) and upcast inside the softmax
-        # fusion.  Matches the reference's fp16-autocast scores; in fp32
-        # mode (dtype=float32, the parity tests) this is a no-op.
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                          preferred_element_type=jnp.float32) * (dh ** -0.5)
-        attn = attn.astype(x.dtype)
+        q = x @ wd[:c].T + bd[:c]
+        k = x @ wd[c:2 * c].T + bd[c:2 * c]
+        v = x @ wd[2 * c:].T + bd[2 * c:]
 
         table = self.param("relative_position_bias_table",
                            nn.initializers.normal(0.02),
                            ((2 * w - 1) ** 2, h))
         idx = jnp.asarray(_relative_position_index(w))
-        bias = table[idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
-        attn = attn.astype(jnp.float32) + bias[None]
+        bias = (table[idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
+                .astype(jnp.float32))
 
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(nb // nw, nw, h, n, n) + mask[None, :, None]
-            attn = attn.reshape(nb, h, n, n)
+        if jax.default_backend() in ("tpu", "axon") and hp % w == 0 and wpx % w == 0:
+            from ..ops.swin_attention_pallas import fused_window_attention
+            m4 = (None if mask is None else
+                  mask.reshape(hp // w, wpx // w, n, n))
+            out = fused_window_attention(q, k, v, bias, m4, w)
+        else:
+            qw = window_partition(q, w).reshape(-1, n, h, dh)
+            kw = window_partition(k, w).reshape(-1, n, h, dh)
+            vw = window_partition(v, w).reshape(-1, n, h, dh)
+            nb = qw.shape[0]
+            # scores cross HBM in the compute dtype: the [nB, h, 49, 49]
+            # score tensor is far too big for VMEM on the low-C stages
+            # (~125 MB fp32 at stage0 for a 4-frame chunk) so the
+            # matmul→softmax hop is an HBM round-trip — emit bf16 from the
+            # MXU epilogue (accumulation is fp32 on the MXU regardless) and
+            # upcast inside the softmax fusion.  Matches the reference's
+            # fp16-autocast scores; in fp32 mode (the parity tests) a no-op.
+            attn = jnp.einsum("bnhd,bmhd->bhnm", qw, kw,
+                              preferred_element_type=jnp.float32) * (dh ** -0.5)
+            attn = attn.astype(x.dtype)
+            attn = attn.astype(jnp.float32) + bias[None]
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.reshape(nb // nw, nw, h, n, n) + mask[None, :, None]
+                attn = attn.reshape(nb, h, n, n)
+            attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+            outw = jnp.einsum("bhnm,bmhd->bnhd", attn, vw).reshape(nb, n, c)
+            out = window_reverse(outw, w, b, hp, wpx)
 
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(nb, n, c)
         wp = self.param("proj_weight", nn.initializers.xavier_uniform(), (c, c))
         bp = self.param("proj_bias", nn.initializers.zeros, (c,))
         return out @ wp.T.astype(x.dtype) + bp.astype(x.dtype)
@@ -173,9 +192,7 @@ class SwinBlock(nn.Module):
         else:
             mask = None
 
-        y = window_partition(y, w)
         y = WindowAttention(c, w, self.num_heads, dtype=self.dtype, name="attn")(y, mask)
-        y = window_reverse(y, w, b, hp, wp)
 
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))

@@ -1,0 +1,159 @@
+"""Pallas TPU kernel for Swin shifted-window attention.
+
+The XLA formulation of one Swin block's attention costs four full-map HBM
+relayouts (window partition + reverse on the attention input and output)
+plus HBM round-trips for the [nW·B, heads, 49, 49] score tensor (bf16
+write, fp32 bias/mask add, softmax, bf16 read for attn·V — ~300 MB of
+traffic per stage-0 block of Swin-B at 608×1024).  Windows are a purely
+local structure, so all of it fuses: this kernel takes the *unpartitioned*
+q/k/v feature maps, walks one row of windows per grid step, and emits the
+attention output back in map layout.  Each token crosses HBM exactly
+twice (read q/k/v, write out).
+
+Reference semantics (including the bf16-score round-trip of the bf16
+compute path and the fp32 softmax) match ``models/swin.py:
+WindowAttention`` — which itself mirrors
+``mega_core/modeling/backbone/swintransformer.py:86-180``.
+
+Mosaic-shaped details:
+  * the grid walks (batch, window-row); one step holds a [w, Wp, C]
+    stripe of q, k, v in VMEM — Wp is the *padded* width, a multiple of
+    the window size, so the reshape (w, T, w, C) → transpose →
+    [T, 49, C] window re-layout happens entirely in VMEM;
+  * heads are batched into the score matmul via one [T, h, 49, dh]
+    transpose per stripe (not per window);
+  * the per-window loop is a ``fori_loop`` whose dynamic slices index
+    only dims beyond the (sublane, lane) pair;
+  * the relative-position bias rides along as a full-VMEM [h, 49, 49]
+    fp32 block; the SW-MSA mask as a [1, T, 49, 49] stripe block.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _win_relayout(x, w: int, t: int):
+    """[w, w·T, C] stripe → [T, 49, C] (window-major, row-major inside)."""
+    c = x.shape[-1]
+    return (x.reshape(w, t, w, c).transpose(1, 0, 2, 3)
+            .reshape(t, w * w, c))
+
+
+def _win_relayout_inv(x, w: int, t: int):
+    """[T, 49, C] → [w, w·T, C]."""
+    c = x.shape[-1]
+    return (x.reshape(t, w, w, c).transpose(1, 0, 2, 3)
+            .reshape(w, t * w, c))
+
+
+def _attention_stripe(q, k, v, bias, mask, o4_ref, *, h: int, t: int,
+                      scale: float, compute_dtype):
+    """Per-window attention over a [T, h, 49, dh] stripe into o4_ref."""
+
+    def body(i, _):
+        qt = jax.lax.dynamic_index_in_dim(q, i, 0, keepdims=False)
+        kt = jax.lax.dynamic_index_in_dim(k, i, 0, keepdims=False)
+        vt = jax.lax.dynamic_index_in_dim(v, i, 0, keepdims=False)
+        # [h, 49, dh] @ [h, 49, dh]^T -> [h, 49, 49], fp32 accumulation
+        s = jax.lax.dot_general(
+            qt, kt, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        # matches the XLA path: scores cross to the softmax in the
+        # compute dtype (bf16 on TPU), bias/mask/softmax in fp32
+        s = s.astype(compute_dtype).astype(jnp.float32) + bias
+        if mask is not None:
+            mt = jax.lax.dynamic_index_in_dim(mask, i, 0, keepdims=False)
+            s = s + mt[None]
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(compute_dtype)
+        # [h, 49, 49] @ [h, 49, dh] -> [h, 49, dh]
+        o = jax.lax.dot_general(
+            p, vt, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o4_ref[i] = o.astype(o4_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, t, body, 0)
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, o4_ref, *, w: int,
+            h: int, t: int, scale: float):
+    c = q_ref.shape[-1]
+    dh = c // h
+    bias = bias_ref[...]
+
+    def heads4(ref):
+        x = _win_relayout(ref[0], w, t)                      # [T, 49, C]
+        return x.reshape(t, w * w, h, dh).transpose(0, 2, 1, 3)
+
+    q4, k4, v4 = heads4(q_ref), heads4(k_ref), heads4(v_ref)
+    _attention_stripe(q4, k4, v4, bias, None, o4_ref, h=h, t=t,
+                      scale=scale, compute_dtype=q_ref.dtype)
+    out = o4_ref[...].transpose(0, 2, 1, 3).reshape(t, w * w, c)
+    o_ref[0] = _win_relayout_inv(out, w, t)
+
+
+def _kernel_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, o4_ref,
+                   *, w: int, h: int, t: int, scale: float):
+    c = q_ref.shape[-1]
+    dh = c // h
+    bias = bias_ref[...]
+    mask = mask_ref[0]                                       # [T, 49, 49]
+
+    def heads4(ref):
+        x = _win_relayout(ref[0], w, t)
+        return x.reshape(t, w * w, h, dh).transpose(0, 2, 1, 3)
+
+    q4, k4, v4 = heads4(q_ref), heads4(k_ref), heads4(v_ref)
+    _attention_stripe(q4, k4, v4, bias, mask, o4_ref, h=h, t=t,
+                      scale=scale, compute_dtype=q_ref.dtype)
+    out = o4_ref[...].transpose(0, 2, 1, 3).reshape(t, w * w, c)
+    o_ref[0] = _win_relayout_inv(out, w, t)
+
+
+def fused_window_attention(q, k, v, bias, mask, window: int):
+    """Windowed MHA over padded feature maps, no partition round-trip.
+
+    q/k/v : [B, Hp, Wp, C]  (Hp, Wp multiples of ``window``)
+    bias  : [h, w², w²] fp32  relative-position bias
+    mask  : [nWh, nWw, w², w²] fp32 SW-MSA mask, or None
+    →       [B, Hp, Wp, C]  pre-projection attention output
+    """
+    b, hp, wp, c = q.shape
+    w = window
+    h = bias.shape[0]
+    t = wp // w
+    nwh = hp // w
+    scale = float((c // h) ** -0.5)
+    grid = (b, nwh)
+    stripe = pl.BlockSpec((1, w, wp, c), lambda i, j: (i, j, 0, 0))
+    bias_spec = pl.BlockSpec((h, w * w, w * w), lambda i, j: (0, 0, 0))
+    scratch = [pltpu.VMEM((t, h, w * w, c // h), q.dtype)]
+    params = functools.partial(
+        _kernel_masked if mask is not None else _kernel,
+        w=w, h=h, t=t, scale=scale)
+    in_specs = [stripe, stripe, stripe, bias_spec]
+    args = [q, k, v, bias]
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((1, t, w * w, w * w),
+                                     lambda i, j: (j, 0, 0, 0)))
+        args.append(mask)
+    return pl.pallas_call(
+        params,
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), q.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=stripe,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(*args)

@@ -94,3 +94,46 @@ def test_swin_config_integration():
     assert model.backbone_type == "swin"
     assert model.swin_size == "B-22k"
     assert model.fpn_in == ("swin1", "swin2", "swin3")
+
+
+def test_fused_window_attention_matches_einsum_interpreted():
+    """The Pallas fused window-attention kernel (map in, map out — no
+    partition/reverse, in-VMEM softmax) must match the batched-einsum
+    formulation, with and without the SW-MSA mask."""
+    from jax.experimental.pallas import tpu as pltpu
+    from diffusionvid_tpu.ops.swin_attention_pallas import (
+        fused_window_attention)
+
+    rng = np.random.RandomState(0)
+    b, hp, wp, c, h, w = 2, 14, 21, 32, 4, 7
+    n = w * w
+    dh = c // h
+    q, k, v = (jnp.asarray(rng.randn(b, hp, wp, c).astype(np.float32))
+               for _ in range(3))
+    bias = jnp.asarray(rng.randn(h, n, n).astype(np.float32))
+
+    def reference(q, k, v, mask):
+        qw = window_partition(q, w).reshape(-1, n, h, dh)
+        kw = window_partition(k, w).reshape(-1, n, h, dh)
+        vw = window_partition(v, w).reshape(-1, n, h, dh)
+        nb = qw.shape[0]
+        attn = jnp.einsum("bnhd,bmhd->bhnm", qw, kw,
+                          preferred_element_type=jnp.float32) * (dh ** -0.5)
+        attn = attn + bias[None]
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = (attn.reshape(nb // nw, nw, h, n, n) + mask[None, :, None]
+                    ).reshape(nb, h, n, n)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, vw).reshape(nb, n, c)
+        return window_reverse(out, w, b, hp, wp)
+
+    mask = jnp.asarray(_shift_attn_mask(hp, wp, w, 3))
+
+    for m in (None, mask):
+        ref = reference(q, k, v, m)
+        m4 = None if m is None else m.reshape(hp // w, wp // w, n, n)
+        with pltpu.force_tpu_interpret_mode():
+            got = fused_window_attention(q, k, v, bias, m4, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)

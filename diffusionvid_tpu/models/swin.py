@@ -116,7 +116,11 @@ class WindowAttention(nn.Module):
         bias = (table[idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
                 .astype(jnp.float32))
 
-        if jax.default_backend() in ("tpu", "axon") and hp % w == 0 and wpx % w == 0:
+        import os
+        use_kernel = (jax.default_backend() in ("tpu", "axon")
+                      and hp % w == 0 and wpx % w == 0
+                      and not os.environ.get("DIFFUSIONVID_SWIN_NO_KERNEL"))
+        if use_kernel:
             from ..ops.swin_attention_pallas import fused_window_attention
             m4 = (None if mask is None else
                   mask.reshape(hp // w, wpx // w, n, n))

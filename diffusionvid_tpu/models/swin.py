@@ -100,14 +100,6 @@ class WindowAttention(nn.Module):
 
         wqkv = self.param("qkv_weight", nn.initializers.xavier_uniform(), (3 * c, c))
         bqkv = self.param("qkv_bias", nn.initializers.zeros, (3 * c,))
-        # three matmuls against weight row-slices instead of one matmul +
-        # a [B, Hp, Wp, 3, h, dh] reshape-transpose: the split/transpose of
-        # the fused qkv was a ~1 ms relayout copy per block in the profile
-        wd = wqkv.astype(x.dtype)
-        bd = bqkv.astype(x.dtype)
-        q = x @ wd[:c].T + bd[:c]
-        k = x @ wd[c:2 * c].T + bd[c:2 * c]
-        v = x @ wd[2 * c:].T + bd[2 * c:]
 
         table = self.param("relative_position_bias_table",
                            nn.initializers.normal(0.02),
@@ -117,15 +109,34 @@ class WindowAttention(nn.Module):
                 .astype(jnp.float32))
 
         import os
+        kernel_mode = os.environ.get("DIFFUSIONVID_SWIN_KERNEL", "v1")
         use_kernel = (jax.default_backend() in ("tpu", "axon")
                       and hp % w == 0 and wpx % w == 0
+                      and kernel_mode != "off"
                       and not os.environ.get("DIFFUSIONVID_SWIN_NO_KERNEL"))
-        if use_kernel:
+        m4 = (None if mask is None else
+              mask.reshape(hp // w, wpx // w, n, n))
+        if use_kernel and kernel_mode == "v2":
+            # v2: qkv fused in-kernel — q/k/v maps never touch HBM
+            from ..ops.swin_attention_pallas import fused_window_attention_qkv
+            out = fused_window_attention_qkv(x, wqkv, bqkv, bias, m4, w, h)
+        elif use_kernel:
+            # three matmuls against weight row-slices instead of one matmul
+            # + a [B, Hp, Wp, 3, h, dh] reshape-transpose: the split/
+            # transpose of the fused qkv was a ~1 ms relayout per block
+            wd = wqkv.astype(x.dtype)
+            bd = bqkv.astype(x.dtype)
+            q = x @ wd[:c].T + bd[:c]
+            k = x @ wd[c:2 * c].T + bd[c:2 * c]
+            v = x @ wd[2 * c:].T + bd[2 * c:]
             from ..ops.swin_attention_pallas import fused_window_attention
-            m4 = (None if mask is None else
-                  mask.reshape(hp // w, wpx // w, n, n))
             out = fused_window_attention(q, k, v, bias, m4, w)
         else:
+            wd = wqkv.astype(x.dtype)
+            bd = bqkv.astype(x.dtype)
+            q = x @ wd[:c].T + bd[:c]
+            k = x @ wd[c:2 * c].T + bd[c:2 * c]
+            v = x @ wd[2 * c:].T + bd[2 * c:]
             qw = window_partition(q, w).reshape(-1, n, h, dh)
             kw = window_partition(k, w).reshape(-1, n, h, dh)
             vw = window_partition(v, w).reshape(-1, n, h, dh)

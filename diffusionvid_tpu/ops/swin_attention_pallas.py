@@ -118,6 +118,86 @@ def _kernel_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, o4_ref,
     o_ref[0] = _win_relayout_inv(out, w, t)
 
 
+def _kernel_qkv(x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref, o4_ref, *,
+                w: int, h: int, t: int, scale: float, mask_stripe):
+    """v2: qkv projections fused in-kernel — the x stripe is read once
+    from HBM and the q/k/v maps never exist in HBM at all."""
+    c = x_ref.shape[-1]
+    dh = c // h
+    bias = bias_ref[...]
+    x = _win_relayout(x_ref[0], w, t).reshape(t * w * w, c)
+    wd = wqkv_ref[...]
+    bd = bqkv_ref[...]
+
+    def proj(lo):
+        y = jax.lax.dot_general(
+            x, jax.lax.dynamic_slice_in_dim(wd, lo, c, 0),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y = y + jax.lax.dynamic_slice_in_dim(bd[0], lo, c, 0).astype(jnp.float32)
+        return (y.astype(x.dtype).reshape(t, w * w, h, dh)
+                .transpose(0, 2, 1, 3))
+
+    q4, k4, v4 = proj(0), proj(c), proj(2 * c)
+    _attention_stripe(q4, k4, v4, bias, mask_stripe, o4_ref, h=h, t=t,
+                      scale=scale, compute_dtype=x.dtype)
+    out = o4_ref[...].transpose(0, 2, 1, 3).reshape(t, w * w, c)
+    o_ref[0] = _win_relayout_inv(out, w, t)
+
+
+def _kernel_qkv_nomask(x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref, o4_ref,
+                       **kw):
+    _kernel_qkv(x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref, o4_ref,
+                mask_stripe=None, **kw)
+
+
+def _kernel_qkv_masked(x_ref, wqkv_ref, bqkv_ref, bias_ref, mask_ref,
+                       o_ref, o4_ref, **kw):
+    _kernel_qkv(x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref, o4_ref,
+                mask_stripe=mask_ref[0], **kw)
+
+
+def fused_window_attention_qkv(x, wqkv, bqkv, bias, mask, window: int,
+                               num_heads: int):
+    """v2: windowed MHA with the qkv projection fused into the kernel.
+
+    x     : [B, Hp, Wp, C]   post-LN (pad-zeroed, pre-rolled) map
+    wqkv  : [3C, C] torch-layout qkv weight;  bqkv [3C]
+    bias  : [h, w², w²] fp32;  mask [nWh, nWw, w², w²] fp32 or None
+    →       [B, Hp, Wp, C]  pre-out-projection attention output
+    """
+    b, hp, wp, c = x.shape
+    w = window
+    h = num_heads
+    t = wp // w
+    nwh = hp // w
+    scale = float((c // h) ** -0.5)
+    stripe = pl.BlockSpec((1, w, wp, c), lambda i, j: (i, j, 0, 0))
+    wspec = pl.BlockSpec((3 * c, c), lambda i, j: (0, 0))
+    bspec = pl.BlockSpec((1, 3 * c), lambda i, j: (0, 0))
+    bias_spec = pl.BlockSpec((h, w * w, w * w), lambda i, j: (0, 0, 0))
+    in_specs = [stripe, wspec, bspec, bias_spec]
+    args = [x, wqkv.astype(x.dtype), bqkv.reshape(1, -1), bias]
+    kern = _kernel_qkv_nomask
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((1, t, w * w, w * w),
+                                     lambda i, j: (j, 0, 0, 0)))
+        args.append(mask)
+        kern = _kernel_qkv_masked
+    return pl.pallas_call(
+        functools.partial(kern, w=w, h=h, t=t, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), x.dtype),
+        grid=(b, nwh),
+        in_specs=in_specs,
+        out_specs=stripe,
+        scratch_shapes=[pltpu.VMEM((t, h, w * w, c // h), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(*args)
+
+
 def fused_window_attention(q, k, v, bias, mask, window: int):
     """Windowed MHA over padded feature maps, no partition round-trip.
 

@@ -137,3 +137,48 @@ def test_fused_window_attention_matches_einsum_interpreted():
             got = fused_window_attention(q, k, v, bias, m4, w)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-5, rtol=1e-5)
+
+
+def test_fused_window_attention_qkv_matches_interpreted():
+    """v2 kernel (qkv fused in-kernel) must match computing q/k/v maps
+    in XLA and running the v1 kernel formulation's reference."""
+    from jax.experimental.pallas import tpu as pltpu
+    from diffusionvid_tpu.ops.swin_attention_pallas import (
+        fused_window_attention_qkv)
+
+    rng = np.random.RandomState(1)
+    b, hp, wp, c, h, w = 2, 14, 21, 32, 4, 7
+    n = w * w
+    dh = c // h
+    x = jnp.asarray(rng.randn(b, hp, wp, c).astype(np.float32))
+    wqkv = jnp.asarray(rng.randn(3 * c, c).astype(np.float32)) * 0.1
+    bqkv = jnp.asarray(rng.randn(3 * c).astype(np.float32)) * 0.1
+    bias = jnp.asarray(rng.randn(h, n, n).astype(np.float32))
+
+    def reference(mask):
+        q = x @ wqkv[:c].T + bqkv[:c]
+        k = x @ wqkv[c:2 * c].T + bqkv[c:2 * c]
+        v = x @ wqkv[2 * c:].T + bqkv[2 * c:]
+        qw = window_partition(q, w).reshape(-1, n, h, dh)
+        kw = window_partition(k, w).reshape(-1, n, h, dh)
+        vw = window_partition(v, w).reshape(-1, n, h, dh)
+        nb = qw.shape[0]
+        attn = jnp.einsum("bnhd,bmhd->bhnm", qw, kw,
+                          preferred_element_type=jnp.float32) * (dh ** -0.5)
+        attn = attn + bias[None]
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = (attn.reshape(nb // nw, nw, h, n, n) + mask[None, :, None]
+                    ).reshape(nb, h, n, n)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, vw).reshape(nb, n, c)
+        return window_reverse(out, w, b, hp, wp)
+
+    mask = jnp.asarray(_shift_attn_mask(hp, wp, w, 3))
+    for m in (None, mask):
+        ref = reference(m)
+        m4 = None if m is None else m.reshape(hp // w, wp // w, n, n)
+        with pltpu.force_tpu_interpret_mode():
+            got = fused_window_attention_qkv(x, wqkv, bqkv, bias, m4, w, h)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-5, rtol=1e-4)

@@ -29,7 +29,46 @@ import numpy as np
 from bench import build, make_detector, H, W, INFER_BATCH
 
 
+def run_train(outdir):
+    """Profile the flagship training step (same operating point as
+    bench.py's bench_train: 1 sample = 5 frames @608×1024)."""
+    from diffusionvid_tpu.engine import (
+        TrainBatch, TrainState, make_optimizer, make_train_step)
+    import jax.numpy as jnp
+
+    model, variables, whwh, frames = build(101, "resnet", INFER_BATCH)
+    num_global = 4
+    b = 1 + num_global
+    rng = np.random.RandomState(2)
+    g = 32
+    batch = TrainBatch(
+        images=jnp.asarray(rng.uniform(0, 255, (1, b, H, W, 3)), jnp.float32),
+        gt_boxes=jnp.tile(jnp.asarray([40.0, 40.0, 300.0, 260.0]),
+                          (1, b, g, 1)),
+        gt_labels=jnp.full((1, b, g), 3, jnp.int32),
+        gt_valid=jnp.zeros((1, b, g), bool).at[..., :5].set(True),
+        whwh=jnp.tile(jnp.asarray([W, H, W, H], jnp.float32), (1, 1)))
+    params = variables["params"]
+    tx = make_optimizer(params, base_lr=1e-4, warmup_iters=0)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(model, tx, num_global))
+    r = jax.random.PRNGKey(5)
+    state, metrics = step(state, batch, r)
+    _ = float(metrics["total_loss"])
+    t0 = time.perf_counter()
+    for _ in range(3):
+        state, metrics = step(state, batch, r)
+    _ = float(metrics["total_loss"])
+    print(f"train step: {(time.perf_counter() - t0) / 3 * 1000:.2f} ms")
+    with jax.profiler.trace(outdir):
+        for _ in range(3):
+            state, metrics = step(state, batch, r)
+        _ = float(metrics["total_loss"])
+
+
 def run(outdir, which="r101"):
+    if which == "train":
+        return run_train(outdir)
     if which == "swin":
         model, variables, whwh, frames = build(50, "swin", 4)
         frames = frames[:4]
@@ -119,7 +158,7 @@ def parse(outdir):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/prof_r3")
-    ap.add_argument("--model", default="r101", choices=["r101", "swin"])
+    ap.add_argument("--model", default="r101", choices=["r101", "swin", "train"])
     ap.add_argument("--parse-only", action="store_true")
     args = ap.parse_args()
     if not args.parse_only:

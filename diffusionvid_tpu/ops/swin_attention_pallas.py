@@ -38,9 +38,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+import os
+
+# The stripe→windows relayout has two formulations: "reshape" (split the
+# w·T sublane dim, transpose, merge — fewest ops IF Mosaic lowers the
+# non-8-multiple sublane split) and "stack" (T static 7-wide sublane
+# slices + concat — the same static-slice pattern the ROIAlign v3 kernel
+# already lowers).  Flip with DIFFUSIONVID_SWIN_RELAYOUT=stack.
+_RELAYOUT = os.environ.get("DIFFUSIONVID_SWIN_RELAYOUT", "reshape")
+
+
 def _win_relayout(x, w: int, t: int):
     """[w, w·T, C] stripe → [T, 49, C] (window-major, row-major inside)."""
     c = x.shape[-1]
+    if _RELAYOUT == "stack":
+        cols = jnp.concatenate(
+            [x[:, i * w:(i + 1) * w, :][None] for i in range(t)], axis=0)
+        return cols.reshape(t, w * w, c)
     return (x.reshape(w, t, w, c).transpose(1, 0, 2, 3)
             .reshape(t, w * w, c))
 
@@ -48,6 +62,9 @@ def _win_relayout(x, w: int, t: int):
 def _win_relayout_inv(x, w: int, t: int):
     """[T, 49, C] → [w, w·T, C]."""
     c = x.shape[-1]
+    if _RELAYOUT == "stack":
+        x3 = x.reshape(t, w, w, c)
+        return jnp.concatenate([x3[i] for i in range(t)], axis=1)
     return (x.reshape(t, w, w, c).transpose(1, 0, 2, 3)
             .reshape(w, t * w, c))
 

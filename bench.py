@@ -214,7 +214,29 @@ def bench_e2e(det, whwh):
          REFERENCE_FPS)
 
 
+def _probe_device(timeout_s=180):
+    """Fail FAST with a diagnostic if the TPU backend is unreachable —
+    backend init over a dead axon tunnel otherwise blocks indefinitely
+    and the whole bench hangs until the driver's timeout."""
+    import threading
+
+    ok = []
+
+    def probe():
+        x = jnp.ones((8, 8))
+        ok.append(float(np.asarray(x @ x)[0, 0]))
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if not ok:
+        print(f"# FATAL: device backend unreachable after {timeout_s}s "
+              "(axon tunnel down?) — aborting bench", flush=True)
+        raise SystemExit(2)
+
+
 def main():
+    _probe_device()
     # Order by priority: the headline runs FIRST (so a driver timeout at
     # any later point still leaves a valid tail JSON line) and is
     # re-emitted LAST (cheap — already compiled) so the final line is the

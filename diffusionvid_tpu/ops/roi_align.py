@@ -195,10 +195,21 @@ def _pra_fwd(features, rois, spatial_scales, output_size, sampling_ratio,
 
 
 def _pra_bwd(spatial_scales, output_size, sampling_ratio, x_major, res, g):
-    """Backward via the gather formulation's transpose (XLA scatter).
+    """Backward via the gather formulation's transpose (XLA scatter), or —
+    with DIFFUSIONVID_ROI_BWD_KERNEL=1 and the x-major layout — via the
+    banded-transpose Pallas kernel (no scatter; full-width row adds).
     Box gradients are zero — the reference CUDA ROIAlign backward also
     only produces feature gradients (ROIAlign_cuda.cu)."""
+    import os
+
     features, rois = res
+    if x_major and os.environ.get("DIFFUSIONVID_ROI_BWD_KERNEL"):
+        from .roi_align_pallas import multilevel_roi_align_bwd_mxu
+        shapes = [(f.shape[1], f.shape[2]) for f in features]
+        grads = multilevel_roi_align_bwd_mxu(
+            g, rois, shapes, spatial_scales, output_size, sampling_ratio,
+            out_dtype=features[0].dtype)
+        return tuple(grads), jax.numpy.zeros_like(rois)
     if x_major:
         # flat (px, py)-major cotangent → [B, R, py, px, C] y-major
         b, r, pp, c = g.shape

@@ -453,3 +453,151 @@ def multilevel_roi_align_mxu(features: Sequence, rois,
     if x_major:
         return out.reshape(b, r, p * p, c)
     return out.transpose(0, 1, 3, 2, 4)
+
+
+def _bwd_kernel(f_hw, b_idx_unused, g_ref, scal_ref, wy_ref, wx_ref, o_ref,
+                v_ref, *, rb: int, s: int, p: int, sr: int):
+    """Feature-gradient kernel for ONE FPN level.
+
+    Transpose of the banded-separable forward: per ROI, the x-pass
+    transpose scatters the pooled cotangent into full-width sample-row
+    gradients via one-hot column weights (built exactly like the
+    forward's window weights, over the full level width — no dynamic
+    sublane stores), then the y-pass transpose adds each sample row into
+    its 2-row feature band (dynamic slicing only on the outer H dim,
+    the forward's proven addressing pattern, store direction).
+
+    g_ref   [1, RB, p·p, C]  pooled cotangent, x-major flat (px, py)
+    scal_ref [1, R, 2s+1] SMEM — y0 bands | x0 bands | level-match flag
+    wy_ref/wx_ref [1, R, s, 2] — band weights (already include the
+        forward's border zeroing; out-of-level ROIs ride the flag)
+    o_ref   [1, Hl, Wl, C] fp32 — dF for this level, REVISITED across the
+        ROI-block grid dim and zero-initialised at block 0
+    v_ref   scratch [Wl, p, C] fp32 — per-ROI full-width row gradients
+        (v[:, i7, :] = Σ_j7 wcol_j7 ⊗ g[i7, j7, :], inv-folded)
+    """
+    hl, wl = f_hw
+    block = pl.program_id(1)
+    c = v_ref.shape[-1]
+    inv = 1.0 / (sr * sr)
+
+    @pl.when(block == 0)
+    def _init():
+        o_ref[0] = jnp.zeros((hl, wl, c), o_ref.dtype)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (wl, 1, 1), 0)
+
+    def one_roi(i, g):
+        wxv = wx_ref[0, g]
+        wyv = wy_ref[0, g]
+
+        # x-pass transpose: v[:, i7, :] = Σ_j7 wcol_j7[col] · g[i7, j7, :]
+        acc = None
+        for j7 in range(p):
+            wcol = jnp.zeros((wl, 1, 1), jnp.float32)
+            for u in range(sr):
+                jx = j7 * sr + u
+                x0 = scal_ref[0, g, s + jx]
+                wcol = (wcol + jnp.where(col == x0, wxv[jx, 0], 0.0)
+                        + jnp.where(col == x0 + 1, wxv[jx, 1], 0.0))
+            grow = g_ref[0, i, j7 * p:(j7 + 1) * p, :]     # [p(i7), C]
+            part = wcol * (grow.astype(jnp.float32) * inv)[None]
+            acc = part if acc is None else acc + part      # [Wl, p, C]
+        v_ref[...] = acc
+
+        # y-pass transpose: 2-row banded adds at dynamic H offsets
+        for k in range(s):
+            lo = scal_ref[0, g, k]
+            vi = v_ref[:, k // sr, :]                       # [Wl, C]
+            rows = o_ref[0, pl.ds(lo, 2), :, :]
+            add = jnp.concatenate([(wyv[k, 0] * vi)[None],
+                                   (wyv[k, 1] * vi)[None]], axis=0)
+            o_ref[0, pl.ds(lo, 2), :, :] = rows + add
+
+    def roi_loop(i, _):
+        g = block * rb + i
+        jax.lax.cond(scal_ref[0, g, 2 * s] > 0,
+                     lambda: one_roi(i, g), lambda: None)
+        return 0
+
+    jax.lax.fori_loop(0, rb, roi_loop, 0)
+
+
+def multilevel_roi_align_bwd_mxu(g_flat, rois, feature_shapes,
+                                 spatial_scales: Sequence[float],
+                                 output_size: int = 7,
+                                 sampling_ratio: int = 2,
+                                 aligned: bool = True, roi_block: int = 25,
+                                 canonical_box_size: float = 224.0,
+                                 canonical_level: int = 4,
+                                 out_dtype=jnp.float32):
+    """Feature gradients of ``multilevel_roi_align`` (x-major flat output
+    layout) via the banded transpose kernel — one pallas_call per FPN
+    level (keeps each level's fp32 dF VMEM-resident; grid (B, ROI-blocks)
+    with the dF block revisited and accumulated across ROI blocks).
+
+    g_flat [B, R, p·p, C] (px, py)-major cotangent → list of per-level
+    dF [B, Hl, Wl, C] in ``out_dtype``.  Box gradients are zero, like
+    the reference CUDA backward (ROIAlign_cuda.cu backward: atomicAdd
+    into the feature grad only)."""
+    p, sr = output_size, sampling_ratio
+    s = p * sr
+    b, r = rois.shape[:2]
+    c = g_flat.shape[-1]
+
+    min_level = int(round(-math.log2(spatial_scales[0])))
+    level = fpn_level_assignment(rois, len(feature_shapes), min_level,
+                                 canonical_box_size, canonical_level)
+
+    ts = (jnp.arange(p)[:, None]
+          + (jnp.arange(sr)[None, :] + 0.5) / sr).reshape(-1)
+    half = 0.5 if aligned else 0.0
+    rf = rois.astype(jnp.float32)
+
+    scales = jnp.asarray(spatial_scales, jnp.float32)[level]
+    hs = jnp.asarray([fs[0] for fs in feature_shapes], jnp.int32)[level]
+    ws = jnp.asarray([fs[1] for fs in feature_shapes], jnp.int32)[level]
+
+    x1 = rf[..., 0] * scales - half
+    y1 = rf[..., 1] * scales - half
+    bw = (rf[..., 2] - rf[..., 0]) * scales
+    bh = (rf[..., 3] - rf[..., 1]) * scales
+    if not aligned:
+        bw = jnp.maximum(bw, 1.0)
+        bh = jnp.maximum(bh, 1.0)
+    ys = y1[..., None] + (bh / p)[..., None] * ts
+    xs = x1[..., None] + (bw / p)[..., None] * ts
+
+    y0, wy0, wy1 = _band_params(ys, hs[..., None])
+    x0, wx0, wx1 = _band_params(xs, ws[..., None])
+    wy = jnp.stack([wy0, wy1], axis=-1)
+    wx = jnp.stack([wx0, wx1], axis=-1)
+
+    grads = []
+    grid = (b, r // roi_block)
+    for li, (hl, wl) in enumerate(feature_shapes):
+        match = (level == li).astype(jnp.int32)
+        scal = jnp.concatenate([y0, x0, match[..., None]], axis=-1)
+        df = pl.pallas_call(
+            functools.partial(_bwd_kernel, (hl, wl), li, rb=roi_block,
+                              s=s, p=p, sr=sr),
+            out_shape=jax.ShapeDtypeStruct((b, hl, wl, c), jnp.float32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, roi_block, p * p, c),
+                             lambda i, j: (i, j, 0, 0)),
+                pl.BlockSpec((1, r, 2 * s + 1), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, r, s, 2), lambda i, j: (i, 0, 0, 0)),
+                pl.BlockSpec((1, r, s, 2), lambda i, j: (i, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, hl, wl, c),
+                                   lambda i, j: (i, 0, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((wl, p, c), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(g_flat, scal, wy, wx)
+        grads.append(df.astype(out_dtype))
+    return grads

@@ -107,3 +107,73 @@ def test_kernel_x_major_flat_matches_gather_interpreted():
     assert got.shape == (f, p_, 49, d)
     np.testing.assert_allclose(np.asarray(got), ref_flat,
                                atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_bwd_kernel_matches_gather_vjp_interpreted():
+    """The banded-transpose backward kernel must produce the same feature
+    gradients as the gather formulation's autodiff transpose, for an
+    x-major flat cotangent over mixed-level, border-crossing ROIs."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from diffusionvid_tpu.ops.roi_align_pallas import (
+        multilevel_roi_align_bwd_mxu)
+
+    rng = np.random.RandomState(4)
+    f, p_, d = 2, 50, 64
+    feats = [jnp.asarray(rng.randn(f, 64, 96, d).astype(np.float32)),
+             jnp.asarray(rng.randn(f, 32, 48, d).astype(np.float32)),
+             jnp.asarray(rng.randn(f, 16, 24, d).astype(np.float32))]
+    scales = (1 / 8, 1 / 16, 1 / 32)
+    boxes = rng.uniform(-40, 760, (f, p_, 4)).astype(np.float32)
+    boxes[..., 2:] = boxes[..., :2] + rng.uniform(4, 400, (f, p_, 2))
+    boxes = jnp.asarray(boxes)
+    g = jnp.asarray(rng.randn(f, p_, 49, d).astype(np.float32))
+
+    # reference: vjp of the gather formulation, cotangent in y-major 5D
+    g5 = g.reshape(f, p_, 7, 7, d).transpose(0, 1, 3, 2, 4)
+    _, vjp = jax.vjp(
+        lambda fs: multilevel_roi_align(list(fs), boxes, scales), feats)
+    (ref,) = vjp(g5)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = multilevel_roi_align_bwd_mxu(
+            g, boxes, [(64, 96), (32, 48), (16, 24)], scales)
+
+    for lvl, (gr, rr) in enumerate(zip(got, ref)):
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(rr),
+                                   atol=2e-4, rtol=1e-3,
+                                   err_msg=f"level {lvl}")
+
+
+@pytest.mark.slow
+def test_custom_vjp_kernel_backward_wiring(monkeypatch):
+    """With DIFFUSIONVID_ROI_BWD_KERNEL=1 the custom VJP routes the
+    x-major backward through the banded kernel; gradients must match the
+    default (gather-transpose) route."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from diffusionvid_tpu.ops.roi_align import _pallas_roi_align_diff
+
+    rng = np.random.RandomState(5)
+    f, p_, d = 1, 25, 32
+    feats = tuple(jnp.asarray(rng.randn(*s).astype(np.float32))
+                  for s in [(f, 32, 48, d), (f, 16, 24, d), (f, 8, 12, d)])
+    scales = (1 / 8, 1 / 16, 1 / 32)
+    boxes = rng.uniform(0, 200, (f, p_, 4)).astype(np.float32)
+    boxes[..., 2:] = boxes[..., :2] + rng.uniform(8, 120, (f, p_, 2))
+    boxes = jnp.asarray(boxes)
+
+    def loss(fs):
+        out = _pallas_roi_align_diff(fs, boxes, scales, 7, 2, True)
+        return jnp.sum(out * out)
+
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.delenv("DIFFUSIONVID_ROI_BWD_KERNEL", raising=False)
+        ref = jax.grad(loss)(feats)
+        monkeypatch.setenv("DIFFUSIONVID_ROI_BWD_KERNEL", "1")
+        got = jax.grad(loss)(feats)
+    for lvl, (gr, rr) in enumerate(zip(got, ref)):
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(rr),
+                                   atol=2e-4, rtol=1e-3,
+                                   err_msg=f"level {lvl}")

@@ -109,10 +109,13 @@ class WindowAttention(nn.Module):
                 .astype(jnp.float32))
 
         import os
-        kernel_mode = os.environ.get("DIFFUSIONVID_SWIN_KERNEL", "v1")
+        # fused-kernel default is OFF until TPU-adjudicated (the einsum
+        # path is the measured 67.9 fps/chip configuration); opt in with
+        # DIFFUSIONVID_SWIN_KERNEL=v1 (maps-in) or v2 (qkv in-kernel)
+        kernel_mode = os.environ.get("DIFFUSIONVID_SWIN_KERNEL", "off")
         use_kernel = (jax.default_backend() in ("tpu", "axon")
                       and hp % w == 0 and wpx % w == 0
-                      and kernel_mode != "off"
+                      and kernel_mode in ("v1", "v2")
                       and not os.environ.get("DIFFUSIONVID_SWIN_NO_KERNEL"))
         m4 = (None if mask is None else
               mask.reshape(hp // w, wpx // w, n, n))

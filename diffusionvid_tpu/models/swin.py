@@ -90,7 +90,7 @@ class WindowAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, train: bool = False):
         """x [B, Hp, Wp, C]; mask [nW, w², w²] or None → [B, Hp, Wp, C]."""
         b, hp, wpx, c = x.shape
         n = self.window * self.window
@@ -113,9 +113,11 @@ class WindowAttention(nn.Module):
         # path is the measured 67.9 fps/chip configuration); opt in with
         # DIFFUSIONVID_SWIN_KERNEL=v1 (maps-in) or v2 (qkv in-kernel)
         kernel_mode = os.environ.get("DIFFUSIONVID_SWIN_KERNEL", "off")
+        # inference-only: the kernels define no custom VJP, so training
+        # passes (train=True) always take the differentiable einsum path
         use_kernel = (jax.default_backend() in ("tpu", "axon")
                       and hp % w == 0 and wpx % w == 0
-                      and kernel_mode in ("v1", "v2")
+                      and kernel_mode in ("v1", "v2") and not train
                       and not os.environ.get("DIFFUSIONVID_SWIN_NO_KERNEL"))
         m4 = (None if mask is None else
               mask.reshape(hp // w, wpx // w, n, n))
@@ -210,7 +212,8 @@ class SwinBlock(nn.Module):
         else:
             mask = None
 
-        y = WindowAttention(c, w, self.num_heads, dtype=self.dtype, name="attn")(y, mask)
+        y = WindowAttention(c, w, self.num_heads, dtype=self.dtype,
+                            name="attn")(y, mask, train=train)
 
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))

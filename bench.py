@@ -214,7 +214,7 @@ def bench_e2e(det, whwh):
          REFERENCE_FPS)
 
 
-def _probe_device(timeout_s=180):
+def _probe_device(timeout_s=600):
     """Fail FAST with a diagnostic if the TPU backend is unreachable —
     backend init over a dead axon tunnel otherwise blocks indefinitely
     and the whole bench hangs until the driver's timeout."""
@@ -232,11 +232,26 @@ def _probe_device(timeout_s=180):
     if not ok:
         print(f"# FATAL: device backend unreachable after {timeout_s}s "
               "(axon tunnel down?) — aborting bench", flush=True)
-        raise SystemExit(2)
+        # os._exit: SystemExit would run C++ teardown under the hung
+        # backend-init thread and abort with rc=134 (measured 2026-08-18,
+        # a session where tunnel init took 179 s — hence the 600 s budget)
+        os._exit(2)
 
 
 def main():
     _probe_device()
+    # DIFFUSIONVID_BENCH_ONLY=swinb (comma-set of x1,train,x4,e2e,swinb)
+    # runs a subset — used to warm/adjudicate one compile at a time on
+    # this 1-CPU host; the driver runs with it unset → full suite.
+    only = os.environ.get("DIFFUSIONVID_BENCH_ONLY")
+    sel = set(only.split(",")) if only else None
+
+    def want(k):
+        return sel is None or k in sel
+
+    if sel == {"swinb"}:
+        bench_swinb()
+        return
     # Order by priority: the headline runs FIRST (so a driver timeout at
     # any later point still leaves a valid tail JSON line) and is
     # re-emitted LAST (cheap — already compiled) so the final line is the
@@ -245,15 +260,19 @@ def main():
     det = bench_r101(model, variables, whwh, frames, 1,
                      "diffusionvid_r101_x1_stream_inference", REFERENCE_FPS,
                      chunks=40)
-    bench_train(model, variables)
-    bench_r101(model, variables, whwh, frames, 4,
-               "diffusionvid_r101_x4_stream_inference", REFERENCE_FPS_X4,
-               chunks=10)
-    bench_e2e(det, whwh)
-    try:
-        bench_swinb()   # biggest compile; failures shouldn't mask the rest
-    except Exception as e:
-        print(f"# swinb bench skipped: {e}", flush=True)
+    if want("train"):
+        bench_train(model, variables)
+    if want("x4"):
+        bench_r101(model, variables, whwh, frames, 4,
+                   "diffusionvid_r101_x4_stream_inference", REFERENCE_FPS_X4,
+                   chunks=10)
+    if want("e2e"):
+        bench_e2e(det, whwh)
+    if want("swinb"):
+        try:
+            bench_swinb()   # biggest compile; failures shouldn't mask rest
+        except Exception as e:
+            print(f"# swinb bench skipped: {e}", flush=True)
     bench_r101(model, variables, whwh, frames, 1,
                "diffusionvid_r101_x1_stream_inference", REFERENCE_FPS,
                chunks=40)

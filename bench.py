@@ -9,6 +9,10 @@ Emits one JSON line per metric (the driver parses JSON lines):
      transfer overlapped with device compute via the prefetcher)
   5. r101_x1   — the headline: device streaming fps/chip (printed LAST)
 
+plus, when the full suite runs, opt-in-kernel head-to-head lines
+(``*_kernel_v1``/``*_kernel_v2``/``*_roibwd`` — see bench_adjudicate)
+emitted after every default-path metric and before the final headline.
+
 ``vs_baseline`` is the ratio to the commonly-cited single-GPU fp16
 throughput class for each point (the reference repo publishes no speed
 numbers — BASELINE.md); treat it as a stable cross-round anchor, not
@@ -107,6 +111,7 @@ def bench_swinb():
     fps = stream_fps(det, state, frames[:4], whwh, 4, chunks=30)
     emit("diffusionvid_swinb_x1_stream_inference", fps, "frames/sec/chip",
          REFERENCE_FPS_SWIN)
+    return model, variables, whwh, frames
 
 
 def bench_r101(model, variables, whwh, frames, sample_step, metric, baseline,
@@ -117,7 +122,7 @@ def bench_r101(model, variables, whwh, frames, sample_step, metric, baseline,
     return det
 
 
-def bench_train(model, variables):
+def bench_train(model, variables, metric="diffusionvid_r101_train_step"):
     from diffusionvid_tpu.engine import (
         TrainBatch, TrainState, make_optimizer, make_train_step)
 
@@ -146,8 +151,7 @@ def bench_train(model, variables):
         state, metrics = step(state, batch, r)
     _ = float(metrics["total_loss"])
     sec = (time.perf_counter() - start) / n
-    emit("diffusionvid_r101_train_step", 1000.0 * sec, "ms/step",
-         1000.0 * REFERENCE_TRAIN_SEC)
+    emit(metric, 1000.0 * sec, "ms/step", 1000.0 * REFERENCE_TRAIN_SEC)
 
 
 def bench_e2e(det, whwh):
@@ -214,6 +218,54 @@ def bench_e2e(det, whwh):
          REFERENCE_FPS)
 
 
+def bench_adjudicate(r101_model, r101_variables, swin_built):
+    """Measure the opt-in Pallas kernels on the real chip.
+
+    Two round-3 kernels shipped opt-in pending a TPU measurement
+    (the dev host's axon tunnel was down for the whole adjudication
+    window — tools/adjudicate_kernels.py is the in-session version):
+
+      * DIFFUSIONVID_SWIN_KERNEL=v1|v2 — fused window-attention for the
+        Swin-B inference path (ops/swin_attention_pallas.py); read at
+        trace time inside WindowAttention.__call__, so a fresh
+        StreamingDetector (fresh jax.jit wrappers) retraces under the
+        new mode.
+      * DIFFUSIONVID_ROI_BWD_KERNEL — banded-transpose Pallas backward
+        for multilevel ROIAlign in the train step (ops/roi_align.py).
+        Promoted to default ON after the round-3 measurement (184.8 vs
+        238.6 ms/step); the variant line now measures the OFF route so
+        the regression check stays in every BENCH_rN.
+
+    Emits one extra JSON line per variant (metric suffixed _kernel_v1 /
+    _kernel_v2 / _roibwd) so BENCH_rN records the head-to-head against
+    the default-path lines above; the winning mode is promoted to the
+    source default next round.  Every variant is individually guarded —
+    a kernel that fails to lower on the real chip prints a comment line
+    and never masks the rest of the bench.
+    """
+    if swin_built is not None:
+        model, variables, whwh, frames = swin_built
+        for mode in ("v1", "v2"):
+            os.environ["DIFFUSIONVID_SWIN_KERNEL"] = mode
+            try:
+                det, state = make_detector(model, variables, 4, 1)
+                fps = stream_fps(det, state, frames[:4], whwh, 4, chunks=30)
+                emit(f"diffusionvid_swinb_x1_stream_inference_kernel_{mode}",
+                     fps, "frames/sec/chip", REFERENCE_FPS_SWIN)
+            except Exception as e:
+                print(f"# swinb kernel {mode} skipped: {e!r}"[:300],
+                      flush=True)
+        os.environ.pop("DIFFUSIONVID_SWIN_KERNEL", None)
+    os.environ["DIFFUSIONVID_ROI_BWD_KERNEL"] = "0"
+    try:
+        bench_train(r101_model, r101_variables,
+                    metric="diffusionvid_r101_train_step_roibwd_off")
+    except Exception as e:
+        print(f"# roi-bwd-off train variant skipped: {e!r}"[:300],
+              flush=True)
+    os.environ.pop("DIFFUSIONVID_ROI_BWD_KERNEL", None)
+
+
 def _probe_device(timeout_s=600):
     """Fail FAST with a diagnostic if the TPU backend is unreachable —
     backend init over a dead axon tunnel otherwise blocks indefinitely
@@ -268,11 +320,17 @@ def main():
                    chunks=10)
     if want("e2e"):
         bench_e2e(det, whwh)
+    swin_built = None
     if want("swinb"):
         try:
-            bench_swinb()   # biggest compile; failures shouldn't mask rest
-        except Exception as e:
+            swin_built = bench_swinb()  # biggest compile; failures
+        except Exception as e:          # shouldn't mask the rest
             print(f"# swinb bench skipped: {e}", flush=True)
+    if sel is None and not os.environ.get("DIFFUSIONVID_BENCH_NO_ADJUDICATE"):
+        # opt-in-kernel head-to-heads, lowest priority: only after every
+        # default-path metric has been emitted (a timeout here costs
+        # nothing but the adjudication data)
+        bench_adjudicate(model, variables, swin_built)
     bench_r101(model, variables, whwh, frames, 1,
                "diffusionvid_r101_x1_stream_inference", REFERENCE_FPS,
                chunks=40)

@@ -84,6 +84,7 @@ def build_detection_model(cfg, dtype=None):
                         memory_size=mega.MEMORY_MANAGEMENT_SIZE_TEST,
                         use_stage_mem=mega.MEMORY.ENABLE,
                         mem_frames=mega.MEMORY.SIZE,
+                        pixel_attend_local=mega.LOCAL.PIXEL_ATTEND,
                         dtype=dt, **nms_kw)
     if method == "dafa":
         from .dafa import SparseRCNNDAFA

@@ -32,6 +32,7 @@ from ..ops.memory import FeatureMemory, init_memory, update_erase_memory
 from .box_head import FastRCNNPredictor, fast_rcnn_loss, postprocess_classic
 from .flownet import EmbedNet, FlowNetS, warp_features
 from .heads import Linear
+from .pixel_attention import PixelMemoryAttention
 from .rcnn import GeneralizedRCNN
 from .relation import RelationStack
 from .rpn import rpn_loss
@@ -214,6 +215,14 @@ class RDNArch(nn.Module):
     res5_dilation: int = 1
     num_groups: int = 1
     width_per_group: int = 64
+    # LOCAL.PIXEL_ATTEND: before RPN/pooling, current-frame C4 pixels
+    # attend over a sparse subsample of the local-ref pixel set
+    # (generalized_rcnn_mega.py:75-84 local_pixel_level_attention); the
+    # builder sets it from MODEL.VID.MEGA.LOCAL.PIXEL_ATTEND for the
+    # MEGA method, matching the reference's wiring into the MEGA/DAFA
+    # detectors only (default False everywhere, as in the reference).
+    pixel_attend_local: bool = False
+    pixel_sparse: float = 0.1
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -233,6 +242,28 @@ class RDNArch(nn.Module):
                                       joint=self.joint,
                                       dtype=self.dtype, name="relation")
         self.predictor = FastRCNNPredictor(self.num_classes, name="predictor")
+        if self.pixel_attend_local:
+            # res4 is 1024-wide at every depth: the trunk uses Bottleneck
+            # blocks for all RESNET_STAGES entries (resnet.py:210), so
+            # depth only changes the block count, not the stage widths
+            self.pixel_attn = PixelMemoryAttention(
+                feat_dim=1024, dtype=self.dtype, name="pixel_attn")
+
+    def _pixel_enhance(self, cur_feat, ref_feat):
+        """Pixel-level local attention on the current frame's C4 map
+        (update_lm_pixel_with_transpose, generalized_rcnn_mega.py:85-130):
+        keys are the cur pixels plus a ``pixel_sparse`` subsample of the
+        ref-frame pixels.  The reference subsamples with torch.randperm at
+        run time; here it is a trace-time stride so shapes stay static —
+        under jit a data-dependent gather of a random subset would force
+        a dynamic shape."""
+        l, h, w, c = ref_feat.shape
+        n = l * h * w
+        px = ref_feat.reshape(n, c)
+        k = max(1, int(round(n * self.pixel_sparse)))
+        stride = max(1, n // k)
+        mem = px[::stride][:k]
+        return self.pixel_attn(cur_feat[0], memory=mem)[None]
 
     def pooled(self, feat, boxes):
         x = self.detector.box_features(feat, boxes)     # [B,R,2048]
@@ -268,6 +299,8 @@ class RDNArch(nn.Module):
         all_images = jnp.concatenate([cur_images, ref_images], 0)
         feats = self.detector.features(all_images)
         cur_feat, ref_feat = feats[:1], feats[1:]
+        if self.pixel_attend_local:
+            cur_feat = self._pixel_enhance(cur_feat, ref_feat)
 
         props, (logits, deltas, anchors) = self.detector.proposals(
             cur_feat, image_hw, train=True)
@@ -299,6 +332,8 @@ class RDNArch(nn.Module):
         all_images = jnp.concatenate([cur_images, ref_images], 0)
         feats = self.detector.features(all_images)
         cur_feat, ref_feat = feats[:1], feats[1:]
+        if self.pixel_attend_local:
+            cur_feat = self._pixel_enhance(cur_feat, ref_feat)
 
         props, _ = self.detector.proposals(cur_feat, image_hw, train=False)
         ref_props, _ = self.detector.proposals(ref_feat, image_hw,
@@ -424,6 +459,8 @@ class MEGAArch(RDNArch):
         all_images = jnp.concatenate([cur_images, ref_images], 0)
         feats = self.detector.features(all_images)
         cur_feat, ref_feat = feats[:1], feats[1:]
+        if self.pixel_attend_local:
+            cur_feat = self._pixel_enhance(cur_feat, ref_feat)
 
         props, _ = self.detector.proposals(cur_feat, image_hw, train=False)
         ref_props, _ = self.detector.proposals(ref_feat, image_hw,

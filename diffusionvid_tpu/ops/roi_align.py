@@ -195,15 +195,19 @@ def _pra_fwd(features, rois, spatial_scales, output_size, sampling_ratio,
 
 
 def _pra_bwd(spatial_scales, output_size, sampling_ratio, x_major, res, g):
-    """Backward via the gather formulation's transpose (XLA scatter), or —
-    with DIFFUSIONVID_ROI_BWD_KERNEL=1 and the x-major layout — via the
-    banded-transpose Pallas kernel (no scatter; full-width row adds).
-    Box gradients are zero — the reference CUDA ROIAlign backward also
-    only produces feature gradients (ROIAlign_cuda.cu)."""
+    """Backward via the banded-transpose Pallas kernel when the forward
+    took the x-major kernel path (no scatter; full-width row adds —
+    default ON since the round-3 real-chip adjudication measured the
+    flagship train step at 184.8 vs 238.6 ms/step with the XLA scatter
+    transpose; kill switch DIFFUSIONVID_ROI_BWD_KERNEL=0), else the
+    gather formulation's VJP.  Box gradients are zero — the reference
+    CUDA ROIAlign backward also only produces feature gradients
+    (ROIAlign_cuda.cu)."""
     import os
 
     features, rois = res
-    if x_major and os.environ.get("DIFFUSIONVID_ROI_BWD_KERNEL"):
+    bwd_kernel = os.environ.get("DIFFUSIONVID_ROI_BWD_KERNEL", "1")
+    if x_major and bwd_kernel not in ("0", "off"):
         from .roi_align_pallas import multilevel_roi_align_bwd_mxu
         shapes = [(f.shape[1], f.shape[2]) for f in features]
         grads = multilevel_roi_align_bwd_mxu(

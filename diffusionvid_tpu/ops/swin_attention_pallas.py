@@ -69,14 +69,18 @@ def _win_relayout_inv(x, w: int, t: int):
             .reshape(w, t * w, c))
 
 
-def _attention_stripe(q, k, v, bias, mask, o4_ref, *, h: int, t: int,
-                      scale: float, compute_dtype):
-    """Per-window attention over a [T, h, 49, dh] stripe into o4_ref."""
+def _attention_stripe(q_s, k_s, v_s, bias, mask_ref, o4_ref, *, h: int,
+                      t: int, scale: float, compute_dtype):
+    """Per-window attention over [T, h, 49, dh] VMEM scratch refs into
+    o4_ref.  The loop indexes the scratch REFS with the traced counter —
+    a dynamic leading-index load lowers to a vector load with dynamic
+    start; slicing a VMEM *value* with a traced index is the
+    ``dynamic_slice`` primitive, unimplemented in the TC lowering (the
+    round-3 real-chip adjudication failed exactly there).  ``mask_ref``
+    is the [1, T, 49, 49] input ref, or None."""
 
     def body(i, _):
-        qt = jax.lax.dynamic_index_in_dim(q, i, 0, keepdims=False)
-        kt = jax.lax.dynamic_index_in_dim(k, i, 0, keepdims=False)
-        vt = jax.lax.dynamic_index_in_dim(v, i, 0, keepdims=False)
+        qt, kt, vt = q_s[i], k_s[i], v_s[i]
         # [h, 49, dh] @ [h, 49, dh]^T -> [h, 49, 49], fp32 accumulation
         s = jax.lax.dot_general(
             qt, kt, (((2,), (2,)), ((0,), (0,))),
@@ -84,9 +88,8 @@ def _attention_stripe(q, k, v, bias, mask, o4_ref, *, h: int, t: int,
         # matches the XLA path: scores cross to the softmax in the
         # compute dtype (bf16 on TPU), bias/mask/softmax in fp32
         s = s.astype(compute_dtype).astype(jnp.float32) + bias
-        if mask is not None:
-            mt = jax.lax.dynamic_index_in_dim(mask, i, 0, keepdims=False)
-            s = s + mt[None]
+        if mask_ref is not None:
+            s = s + mask_ref[0, i][None]
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(compute_dtype)
@@ -100,8 +103,8 @@ def _attention_stripe(q, k, v, bias, mask, o4_ref, *, h: int, t: int,
     jax.lax.fori_loop(0, t, body, 0)
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, o4_ref, *, w: int,
-            h: int, t: int, scale: float):
+def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, o4_ref, q_s, k_s, v_s,
+            *, w: int, h: int, t: int, scale: float):
     c = q_ref.shape[-1]
     dh = c // h
     bias = bias_ref[...]
@@ -110,68 +113,69 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, o4_ref, *, w: int,
         x = _win_relayout(ref[0], w, t)                      # [T, 49, C]
         return x.reshape(t, w * w, h, dh).transpose(0, 2, 1, 3)
 
-    q4, k4, v4 = heads4(q_ref), heads4(k_ref), heads4(v_ref)
-    _attention_stripe(q4, k4, v4, bias, None, o4_ref, h=h, t=t,
+    q_s[...], k_s[...], v_s[...] = heads4(q_ref), heads4(k_ref), heads4(v_ref)
+    _attention_stripe(q_s, k_s, v_s, bias, None, o4_ref, h=h, t=t,
                       scale=scale, compute_dtype=q_ref.dtype)
     out = o4_ref[...].transpose(0, 2, 1, 3).reshape(t, w * w, c)
     o_ref[0] = _win_relayout_inv(out, w, t)
 
 
 def _kernel_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, o4_ref,
-                   *, w: int, h: int, t: int, scale: float):
+                   q_s, k_s, v_s, *, w: int, h: int, t: int, scale: float):
     c = q_ref.shape[-1]
     dh = c // h
     bias = bias_ref[...]
-    mask = mask_ref[0]                                       # [T, 49, 49]
 
     def heads4(ref):
         x = _win_relayout(ref[0], w, t)
         return x.reshape(t, w * w, h, dh).transpose(0, 2, 1, 3)
 
-    q4, k4, v4 = heads4(q_ref), heads4(k_ref), heads4(v_ref)
-    _attention_stripe(q4, k4, v4, bias, mask, o4_ref, h=h, t=t,
+    q_s[...], k_s[...], v_s[...] = heads4(q_ref), heads4(k_ref), heads4(v_ref)
+    _attention_stripe(q_s, k_s, v_s, bias, mask_ref, o4_ref, h=h, t=t,
                       scale=scale, compute_dtype=q_ref.dtype)
     out = o4_ref[...].transpose(0, 2, 1, 3).reshape(t, w * w, c)
     o_ref[0] = _win_relayout_inv(out, w, t)
 
 
-def _kernel_qkv(x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref, o4_ref, *,
-                w: int, h: int, t: int, scale: float, mask_stripe):
+def _kernel_qkv(x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref, o4_ref,
+                q_s, k_s, v_s, *, w: int, h: int, t: int, scale: float,
+                mask_ref):
     """v2: qkv projections fused in-kernel — the x stripe is read once
     from HBM and the q/k/v maps never exist in HBM at all."""
     c = x_ref.shape[-1]
     dh = c // h
     bias = bias_ref[...]
     x = _win_relayout(x_ref[0], w, t).reshape(t * w * w, c)
-    wd = wqkv_ref[...]
-    bd = bqkv_ref[...]
 
-    def proj(lo):
+    def proj(lo, s_ref):
+        # static row-slice of the [3C, C] weight (a traced-start
+        # dynamic_slice_in_dim does not lower on TC even with a
+        # constant start — keep it a lax.slice)
         y = jax.lax.dot_general(
-            x, jax.lax.dynamic_slice_in_dim(wd, lo, c, 0),
+            x, wqkv_ref[lo:lo + c, :],
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        y = y + jax.lax.dynamic_slice_in_dim(bd[0], lo, c, 0).astype(jnp.float32)
-        return (y.astype(x.dtype).reshape(t, w * w, h, dh)
-                .transpose(0, 2, 1, 3))
+        y = y + bqkv_ref[0, lo:lo + c].astype(jnp.float32)
+        s_ref[...] = (y.astype(x.dtype).reshape(t, w * w, h, dh)
+                      .transpose(0, 2, 1, 3))
 
-    q4, k4, v4 = proj(0), proj(c), proj(2 * c)
-    _attention_stripe(q4, k4, v4, bias, mask_stripe, o4_ref, h=h, t=t,
+    proj(0, q_s), proj(c, k_s), proj(2 * c, v_s)
+    _attention_stripe(q_s, k_s, v_s, bias, mask_ref, o4_ref, h=h, t=t,
                       scale=scale, compute_dtype=x.dtype)
     out = o4_ref[...].transpose(0, 2, 1, 3).reshape(t, w * w, c)
     o_ref[0] = _win_relayout_inv(out, w, t)
 
 
 def _kernel_qkv_nomask(x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref, o4_ref,
-                       **kw):
+                       q_s, k_s, v_s, **kw):
     _kernel_qkv(x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref, o4_ref,
-                mask_stripe=None, **kw)
+                q_s, k_s, v_s, mask_ref=None, **kw)
 
 
 def _kernel_qkv_masked(x_ref, wqkv_ref, bqkv_ref, bias_ref, mask_ref,
-                       o_ref, o4_ref, **kw):
+                       o_ref, o4_ref, q_s, k_s, v_s, **kw):
     _kernel_qkv(x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref, o4_ref,
-                mask_stripe=mask_ref[0], **kw)
+                q_s, k_s, v_s, mask_ref=mask_ref, **kw)
 
 
 def fused_window_attention_qkv(x, wqkv, bqkv, bias, mask, window: int,
@@ -207,7 +211,9 @@ def fused_window_attention_qkv(x, wqkv, bqkv, bias, mask, window: int,
         grid=(b, nwh),
         in_specs=in_specs,
         out_specs=stripe,
-        scratch_shapes=[pltpu.VMEM((t, h, w * w, c // h), x.dtype)],
+        # o4 + q/k/v scratch: the attention loop dynamically indexes
+        # REFS, not values (see _attention_stripe)
+        scratch_shapes=[pltpu.VMEM((t, h, w * w, c // h), x.dtype)] * 4,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=110 * 1024 * 1024,
@@ -232,7 +238,8 @@ def fused_window_attention(q, k, v, bias, mask, window: int):
     grid = (b, nwh)
     stripe = pl.BlockSpec((1, w, wp, c), lambda i, j: (i, j, 0, 0))
     bias_spec = pl.BlockSpec((h, w * w, w * w), lambda i, j: (0, 0, 0))
-    scratch = [pltpu.VMEM((t, h, w * w, c // h), q.dtype)]
+    # o4 + q/k/v scratch (see _attention_stripe)
+    scratch = [pltpu.VMEM((t, h, w * w, c // h), q.dtype)] * 4
     params = functools.partial(
         _kernel_masked if mask is not None else _kernel,
         w=w, h=h, t=t, scale=scale)

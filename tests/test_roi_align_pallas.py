@@ -148,9 +148,10 @@ def test_bwd_kernel_matches_gather_vjp_interpreted():
 
 @pytest.mark.slow
 def test_custom_vjp_kernel_backward_wiring(monkeypatch):
-    """With DIFFUSIONVID_ROI_BWD_KERNEL=1 the custom VJP routes the
-    x-major backward through the banded kernel; gradients must match the
-    default (gather-transpose) route."""
+    """The x-major backward routes through the banded kernel by default
+    (promoted after the round-3 real-chip adjudication: 184.8 vs 238.6
+    ms/step); gradients must match the gather-transpose route
+    (DIFFUSIONVID_ROI_BWD_KERNEL=0 kill switch)."""
     import jax
     from jax.experimental.pallas import tpu as pltpu
     from diffusionvid_tpu.ops.roi_align import _pallas_roi_align_diff
@@ -169,7 +170,7 @@ def test_custom_vjp_kernel_backward_wiring(monkeypatch):
         return jnp.sum(out * out)
 
     with pltpu.force_tpu_interpret_mode():
-        monkeypatch.delenv("DIFFUSIONVID_ROI_BWD_KERNEL", raising=False)
+        monkeypatch.setenv("DIFFUSIONVID_ROI_BWD_KERNEL", "0")
         ref = jax.grad(loss)(feats)
         monkeypatch.setenv("DIFFUSIONVID_ROI_BWD_KERNEL", "1")
         got = jax.grad(loss)(feats)

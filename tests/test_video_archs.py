@@ -151,3 +151,54 @@ def test_mega_arch_stage_memory(imgs):
     assert np.isfinite(np.asarray(dets2.boxes)).all()
     # stage memory contains data (ring slots written)
     assert float(np.abs(np.asarray(state.stage_feats)).sum()) > 0
+
+
+def test_mega_arch_pixel_attend(imgs):
+    """LOCAL.PIXEL_ATTEND wiring (generalized_rcnn_mega.py:75-130): the
+    current frame's C4 map is enhanced by pixel attention over the local
+    refs before RPN/pooling.  Checks the param subtree appears, the
+    forward stays finite, and the flag actually changes the output."""
+    from diffusionvid_tpu.models.video_archs import MEGAArch
+    cur, refs = imgs[:1], imgs[1:]
+
+    on = MEGAArch(depth=50, num_classes=6, memory_size=32,
+                  pixel_attend_local=True)
+    v_on = _mk(on, cur, refs, (H, W))
+    assert "pixel_attn" in v_on["params"]
+    dets_on = on.apply(v_on, cur, refs, (H, W))
+    assert np.isfinite(np.asarray(dets_on.boxes)).all()
+
+    # the enhancement itself is not a no-op on the C4 map (the
+    # postprocessed scores can coincide within allclose tolerance at
+    # random init, so assert at the feature level)
+    def run(m, c, r):
+        feats = m.detector.features(jnp.concatenate([c, r], 0))
+        cf, rf = feats[:1], feats[1:]
+        return cf, m._pixel_enhance(cf, rf)
+
+    cf, ce = on.apply(v_on, cur, refs, method=run)
+    assert ce.shape == cf.shape
+    assert not np.allclose(np.asarray(cf), np.asarray(ce))
+
+
+def test_mega_train_loss_pixel_attend(imgs):
+    """PIXEL_ATTEND also runs in the training path (train_loss_mega →
+    train_loss) and produces finite, differentiable losses."""
+    from diffusionvid_tpu.models.video_archs import MEGAArch
+    model = MEGAArch(depth=50, num_classes=6, memory_size=32,
+                     post_nms_train=32, pixel_attend_local=True)
+    cur, refs = imgs[:1], imgs[1:]
+    gt_boxes = jnp.asarray([[4.0, 4.0, 40.0, 30.0]])
+    gt_labels = jnp.asarray([2], jnp.int32)
+    gt_valid = jnp.asarray([True])
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sampler": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, cur, refs, None, None, (H, W),
+                           gt_boxes, gt_labels, gt_valid,
+                           method=MEGAArch.train_loss_mega)
+    losses = model.apply(variables, cur, refs, None, None, (H, W),
+                         gt_boxes, gt_labels, gt_valid,
+                         method=MEGAArch.train_loss_mega,
+                         rngs={"sampler": jax.random.PRNGKey(2)})
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k

@@ -119,6 +119,16 @@ class RelationStack(nn.Module):
     groups: int = 16
     emb_dim: int = 64
     joint: bool = False
+    # RDN advanced-stage distillation (roi_box_feature_extractors.py:
+    # 334-347, 406-427): after the base stages, the top ``advanced_num``
+    # proposals of each ``group_size``-sized ref-frame group (refs arrive
+    # in RPN-score order, so a prefix slice IS the top-k) are refined by
+    # ``advanced_stages`` extra relation stages over the full ref set,
+    # then the current proposals attend once over that distilled set.
+    # advanced_num = REF_POST_NMS_TOP_N · RDN.RATIO (= 75 · 0.2).
+    advanced_stages: int = 0
+    advanced_num: int = 15
+    group_size: int = 75
     dtype: Any = jnp.float32
 
     @nn.compact

@@ -15,15 +15,17 @@ compute path and the fp32 softmax) match ``models/swin.py:
 WindowAttention`` — which itself mirrors
 ``mega_core/modeling/backbone/swintransformer.py:86-180``.
 
-Mosaic-shaped details:
-  * the grid walks (batch, window-row); one step holds a [w, Wp, C]
-    stripe of q, k, v in VMEM — Wp is the *padded* width, a multiple of
-    the window size, so the reshape (w, T, w, C) → transpose →
-    [T, 49, C] window re-layout happens entirely in VMEM;
-  * heads are batched into the score matmul via one [T, h, 49, dh]
-    transpose per stripe (not per window);
-  * the per-window loop is a ``fori_loop`` whose dynamic slices index
-    only dims beyond the (sublane, lane) pair;
+Mosaic-shaped details (every rule below was adjudicated on the real v5e
+chip — round 3's kernels died in Mosaic's infer-vector-layout pass on a
+``[t,7,7,C] → [t,49,h,dh]`` shape cast):
+  * the LANE dimension is always the full channel width C; reshapes only
+    ever split/merge sublane and implicit dims (``[w,t·w,C] ⇄ [t,49,C]``
+    lowers; any reshape splitting C into (h, dh) does not);
+  * heads are extracted with *static lane slices* ``x[:, j·dh:(j+1)·dh]``
+    stacked on a leading implicit dim (supported at 32-element offsets),
+    and merged back with a lane-dim concatenate;
+  * the per-window loop is a ``fori_loop`` whose dynamic index lands on
+    the leading dim of VMEM *refs* (scratch), never on a traced value;
   * the relative-position bias rides along as a full-VMEM [h, 49, 49]
     fp32 block; the SW-MSA mask as a [1, T, 49, 49] stripe block.
 """
@@ -38,23 +40,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-import os
-
-# The stripe→windows relayout has two formulations: "reshape" (split the
-# w·T sublane dim, transpose, merge — fewest ops IF Mosaic lowers the
-# non-8-multiple sublane split) and "stack" (T static 7-wide sublane
-# slices + concat — the same static-slice pattern the ROIAlign v3 kernel
-# already lowers).  Flip with DIFFUSIONVID_SWIN_RELAYOUT=stack.
-_RELAYOUT = os.environ.get("DIFFUSIONVID_SWIN_RELAYOUT", "reshape")
-
-
 def _win_relayout(x, w: int, t: int):
     """[w, w·T, C] stripe → [T, 49, C] (window-major, row-major inside)."""
     c = x.shape[-1]
-    if _RELAYOUT == "stack":
-        cols = jnp.concatenate(
-            [x[:, i * w:(i + 1) * w, :][None] for i in range(t)], axis=0)
-        return cols.reshape(t, w * w, c)
     return (x.reshape(w, t, w, c).transpose(1, 0, 2, 3)
             .reshape(t, w * w, c))
 
@@ -62,28 +50,40 @@ def _win_relayout(x, w: int, t: int):
 def _win_relayout_inv(x, w: int, t: int):
     """[T, 49, C] → [w, w·T, C]."""
     c = x.shape[-1]
-    if _RELAYOUT == "stack":
-        x3 = x.reshape(t, w, w, c)
-        return jnp.concatenate([x3[i] for i in range(t)], axis=1)
     return (x.reshape(t, w, w, c).transpose(1, 0, 2, 3)
             .reshape(w, t * w, c))
 
 
-def _attention_stripe(q_s, k_s, v_s, bias, mask_ref, o4_ref, *, h: int,
+def _split_heads(x, h: int, dh: int):
+    """[N, C] → [h, N, dh] via static lane slices (no lane-splitting
+    reshape — that shape cast is what Mosaic refuses to lower)."""
+    return jnp.concatenate(
+        [x[:, j * dh:(j + 1) * dh][None] for j in range(h)], axis=0)
+
+
+def _merge_heads(o, h: int):
+    """[h, N, dh] → [N, C] via lane-dim concat of static head slices."""
+    return jnp.concatenate([o[j] for j in range(h)], axis=-1)
+
+
+def _attention_stripe(q_s, k_s, v_s, bias, mask_ref, o_s, *, h: int,
                       t: int, scale: float, compute_dtype):
-    """Per-window attention over [T, h, 49, dh] VMEM scratch refs into
-    o4_ref.  The loop indexes the scratch REFS with the traced counter —
-    a dynamic leading-index load lowers to a vector load with dynamic
-    start; slicing a VMEM *value* with a traced index is the
-    ``dynamic_slice`` primitive, unimplemented in the TC lowering (the
-    round-3 real-chip adjudication failed exactly there).  ``mask_ref``
-    is the [1, T, 49, 49] input ref, or None."""
+    """Per-window attention over [T, 49, C] VMEM scratch refs into o_s.
+    The loop indexes the scratch REFS with the traced counter — a
+    dynamic leading-index load lowers to a vector load with dynamic
+    start.  Heads live on a leading implicit dim of in-register values
+    only (built by static lane slices).  ``mask_ref`` is the
+    [1, T, 49, 49] input ref, or None."""
+    c = q_s.shape[-1]
+    dh = c // h
 
     def body(i, _):
-        qt, kt, vt = q_s[i], k_s[i], v_s[i]
+        qh = _split_heads(q_s[i], h, dh)           # [h, 49, dh]
+        kh = _split_heads(k_s[i], h, dh)
+        vh = _split_heads(v_s[i], h, dh)
         # [h, 49, dh] @ [h, 49, dh]^T -> [h, 49, 49], fp32 accumulation
         s = jax.lax.dot_general(
-            qt, kt, (((2,), (2,)), ((0,), (0,))),
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale
         # matches the XLA path: scores cross to the softmax in the
         # compute dtype (bf16 on TPU), bias/mask/softmax in fp32
@@ -95,55 +95,36 @@ def _attention_stripe(q_s, k_s, v_s, bias, mask_ref, o4_ref, *, h: int,
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(compute_dtype)
         # [h, 49, 49] @ [h, 49, dh] -> [h, 49, dh]
         o = jax.lax.dot_general(
-            p, vt, (((2,), (1,)), ((0,), (0,))),
+            p, vh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        o4_ref[i] = o.astype(o4_ref.dtype)
+        o_s[i] = _merge_heads(o, h).astype(o_s.dtype)
         return 0
 
     jax.lax.fori_loop(0, t, body, 0)
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, o4_ref, q_s, k_s, v_s,
-            *, w: int, h: int, t: int, scale: float):
-    c = q_ref.shape[-1]
-    dh = c // h
-    bias = bias_ref[...]
-
-    def heads4(ref):
-        x = _win_relayout(ref[0], w, t)                      # [T, 49, C]
-        return x.reshape(t, w * w, h, dh).transpose(0, 2, 1, 3)
-
-    q_s[...], k_s[...], v_s[...] = heads4(q_ref), heads4(k_ref), heads4(v_ref)
-    _attention_stripe(q_s, k_s, v_s, bias, None, o4_ref, h=h, t=t,
-                      scale=scale, compute_dtype=q_ref.dtype)
-    out = o4_ref[...].transpose(0, 2, 1, 3).reshape(t, w * w, c)
-    o_ref[0] = _win_relayout_inv(out, w, t)
+def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, o_s, q_s, k_s, v_s,
+            *, w: int, h: int, t: int, scale: float, mask_ref=None):
+    q_s[...] = _win_relayout(q_ref[0], w, t)         # [T, 49, C]
+    k_s[...] = _win_relayout(k_ref[0], w, t)
+    v_s[...] = _win_relayout(v_ref[0], w, t)
+    _attention_stripe(q_s, k_s, v_s, bias_ref[...], mask_ref, o_s, h=h,
+                      t=t, scale=scale, compute_dtype=q_ref.dtype)
+    o_ref[0] = _win_relayout_inv(o_s[...], w, t)
 
 
-def _kernel_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, o4_ref,
-                   q_s, k_s, v_s, *, w: int, h: int, t: int, scale: float):
-    c = q_ref.shape[-1]
-    dh = c // h
-    bias = bias_ref[...]
-
-    def heads4(ref):
-        x = _win_relayout(ref[0], w, t)
-        return x.reshape(t, w * w, h, dh).transpose(0, 2, 1, 3)
-
-    q_s[...], k_s[...], v_s[...] = heads4(q_ref), heads4(k_ref), heads4(v_ref)
-    _attention_stripe(q_s, k_s, v_s, bias, mask_ref, o4_ref, h=h, t=t,
-                      scale=scale, compute_dtype=q_ref.dtype)
-    out = o4_ref[...].transpose(0, 2, 1, 3).reshape(t, w * w, c)
-    o_ref[0] = _win_relayout_inv(out, w, t)
+def _kernel_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref,
+                   o_s, q_s, k_s, v_s, **kw):
+    _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, o_s, q_s, k_s, v_s,
+            mask_ref=mask_ref, **kw)
 
 
-def _kernel_qkv(x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref, o4_ref,
+def _kernel_qkv(x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref, o_s,
                 q_s, k_s, v_s, *, w: int, h: int, t: int, scale: float,
                 mask_ref):
     """v2: qkv projections fused in-kernel — the x stripe is read once
     from HBM and the q/k/v maps never exist in HBM at all."""
     c = x_ref.shape[-1]
-    dh = c // h
     bias = bias_ref[...]
     x = _win_relayout(x_ref[0], w, t).reshape(t * w * w, c)
 
@@ -156,25 +137,24 @@ def _kernel_qkv(x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref, o4_ref,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         y = y + bqkv_ref[0, lo:lo + c].astype(jnp.float32)
-        s_ref[...] = (y.astype(x.dtype).reshape(t, w * w, h, dh)
-                      .transpose(0, 2, 1, 3))
+        # sublane split t·49 → (t, 49); C stays on lanes
+        s_ref[...] = y.astype(x.dtype).reshape(t, w * w, c)
 
     proj(0, q_s), proj(c, k_s), proj(2 * c, v_s)
-    _attention_stripe(q_s, k_s, v_s, bias, mask_ref, o4_ref, h=h, t=t,
+    _attention_stripe(q_s, k_s, v_s, bias, mask_ref, o_s, h=h, t=t,
                       scale=scale, compute_dtype=x.dtype)
-    out = o4_ref[...].transpose(0, 2, 1, 3).reshape(t, w * w, c)
-    o_ref[0] = _win_relayout_inv(out, w, t)
+    o_ref[0] = _win_relayout_inv(o_s[...], w, t)
 
 
-def _kernel_qkv_nomask(x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref, o4_ref,
+def _kernel_qkv_nomask(x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref, o_s,
                        q_s, k_s, v_s, **kw):
-    _kernel_qkv(x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref, o4_ref,
+    _kernel_qkv(x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref, o_s,
                 q_s, k_s, v_s, mask_ref=None, **kw)
 
 
 def _kernel_qkv_masked(x_ref, wqkv_ref, bqkv_ref, bias_ref, mask_ref,
-                       o_ref, o4_ref, q_s, k_s, v_s, **kw):
-    _kernel_qkv(x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref, o4_ref,
+                       o_ref, o_s, q_s, k_s, v_s, **kw):
+    _kernel_qkv(x_ref, wqkv_ref, bqkv_ref, bias_ref, o_ref, o_s,
                 q_s, k_s, v_s, mask_ref=mask_ref, **kw)
 
 
@@ -211,9 +191,9 @@ def fused_window_attention_qkv(x, wqkv, bqkv, bias, mask, window: int,
         grid=(b, nwh),
         in_specs=in_specs,
         out_specs=stripe,
-        # o4 + q/k/v scratch: the attention loop dynamically indexes
-        # REFS, not values (see _attention_stripe)
-        scratch_shapes=[pltpu.VMEM((t, h, w * w, c // h), x.dtype)] * 4,
+        # o + q/k/v scratch: the attention loop dynamically indexes
+        # REFS, not values (see _attention_stripe); all lane-dim C
+        scratch_shapes=[pltpu.VMEM((t, w * w, c), x.dtype)] * 4,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=110 * 1024 * 1024,
@@ -221,7 +201,8 @@ def fused_window_attention_qkv(x, wqkv, bqkv, bias, mask, window: int,
     )(*args)
 
 
-def fused_window_attention(q, k, v, bias, mask, window: int):
+def fused_window_attention(q, k, v, bias, mask, window: int,
+                           num_heads: int | None = None):
     """Windowed MHA over padded feature maps, no partition round-trip.
 
     q/k/v : [B, Hp, Wp, C]  (Hp, Wp multiples of ``window``)
@@ -238,8 +219,8 @@ def fused_window_attention(q, k, v, bias, mask, window: int):
     grid = (b, nwh)
     stripe = pl.BlockSpec((1, w, wp, c), lambda i, j: (i, j, 0, 0))
     bias_spec = pl.BlockSpec((h, w * w, w * w), lambda i, j: (0, 0, 0))
-    # o4 + q/k/v scratch (see _attention_stripe)
-    scratch = [pltpu.VMEM((t, h, w * w, c // h), q.dtype)] * 4
+    # o + q/k/v scratch (see _attention_stripe)
+    scratch = [pltpu.VMEM((t, w * w, c), q.dtype)] * 4
     params = functools.partial(
         _kernel_masked if mask is not None else _kernel,
         w=w, h=h, t=t, scale=scale)

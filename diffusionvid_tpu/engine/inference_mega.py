@@ -49,7 +49,8 @@ def run_inference_video_arch(model, variables, dataset, sample_cfg: SampleConfig
                              bbox_aug_h_flip: bool = True,
                              bbox_aug_scales: tuple = (),
                              bbox_aug_max_size: int = 4000,
-                             bbox_aug_scale_h_flip: bool = False):
+                             bbox_aug_scale_h_flip: bool = False,
+                             shuffled_cur: bool = False):
     """Evaluate a classic/MEGA-family model over a VID dataset.
 
     ``use_bbox_aug``: TEST.BBOX_AUG ensembling, supported for the
@@ -64,7 +65,20 @@ def run_inference_video_arch(model, variables, dataset, sample_cfg: SampleConfig
     difference.  Each distinct scale bucket compiles once.  The temporal
     methods carry per-frame state that an augmented second pass would
     corrupt, so the flag raises there instead of being silently ignored.
+
+    ``shuffled_cur``: MODEL.VID.MEGA.SHUFFLED_CUR_TEST (reference
+    vid_mega.py:14, 166-186) — visit each video's frames in a per-video
+    shuffled order with the local ref queue reduced to the current frame
+    itself (``img_refs_l = [img]``), exercising the global-memory path
+    without temporal locality.  Predictions stay frame-aligned: the
+    reference stores each result at the shuffled index (``idx = idx_new``
+    before ``get_groundtruth``), so only the VISITING order — and hence
+    the memory-state evolution — changes.
     Returns (predictions, gt_list, results)."""
+    if shuffled_cur and method != "mega":
+        raise ValueError(
+            f"MODEL.VID.MEGA.SHUFFLED_CUR_TEST only applies to METHOD "
+            f"'mega' (got {method!r})")
     if use_bbox_aug and method != "base":
         raise ValueError(
             f"TEST.BBOX_AUG is only implemented for METHOD 'base' "
@@ -136,11 +150,14 @@ def run_inference_video_arch(model, variables, dataset, sample_cfg: SampleConfig
                     v, st, f2, method=type(model).update_memory))
             state = upd(variables, state, feats)
 
-        video_preds = []
+        video_preds = [None] * n
         key_feat = None
         pending = None   # 1-deep pipeline: convert prev frame's dets
         # while the device runs the current frame (async dispatch)
-        for f in range(n):
+        order = (np.random.RandomState(seed + video.video_index)
+                 .permutation(n) if shuffled_cur else np.arange(n))
+        for f in order:
+            f = int(f)
             cur = jnp.asarray(frames[f: f + 1])
             if method == "base":
                 fn = jitted("base", cur.shape,
@@ -165,8 +182,11 @@ def run_inference_video_arch(model, variables, dataset, sample_cfg: SampleConfig
                                 v, c, r, (e[0], e[1])))
                 dets = fn(variables, cur, refs, hw)
             elif method in ("rdn", "mega"):
-                lo = max(0, f - 2)
-                hi = min(n, f + 3)
+                if shuffled_cur:
+                    lo, hi = f, f + 1     # local queue = [cur] only
+                else:
+                    lo = max(0, f - 2)
+                    hi = min(n, f + 3)
                 refs = jnp.asarray(frames[lo:hi])
                 if method == "rdn":
                     fn = jitted("rdn", refs.shape,
@@ -245,14 +265,14 @@ def run_inference_video_arch(model, variables, dataset, sample_cfg: SampleConfig
                     det_sets.append(dv)
                 merged = merge_augmented(det_sets)
                 merged["boxes"] = merged["boxes"] / scale
-                video_preds.append(merged)
+                video_preds[f] = merged
                 continue
 
             if pending is not None:
-                video_preds.append(_to_numpy(pending, 0, scale))
-            pending = dets
+                video_preds[pending[0]] = _to_numpy(pending[1], 0, scale)
+            pending = (f, dets)
         if pending is not None:
-            video_preds.append(_to_numpy(pending, 0, scale))
+            video_preds[pending[0]] = _to_numpy(pending[1], 0, scale)
 
         if use_seq_nms:
             from .seq_nms import seq_nms_video

@@ -121,6 +121,15 @@ class StreamingDetector:
         mem_dis = state.mem_dis.feats if use_dis else None
         mem_dis_mask = (jnp.arange(self.mem_dis_size) < state.mem_dis.count
                         if use_dis else None)
+        # ATTENTION.ENABLE: local-queue top-k features key the local
+        # attention chain.  Flagship configs have KEY_FRAME_LOCATION=0 and
+        # ALL_FRAME_INTERVAL == INFER_BATCH, so the queue at detect time IS
+        # the current chunk — stage 0 keys on its top-75, stage 1 on its
+        # top-25 (diffusion_det.py:507-512 proposals_feat/_dis deques).
+        local_kv = None
+        if getattr(self.model, "local_stages", 0) > 0:
+            local_kv = (k1.reshape(-1, k1.shape[-1]),
+                        k2.reshape(-1, k2.shape[-1]))
 
         pairs = ddim_times(sched.num_timesteps, self.sample_step)
         x = jax.random.normal(r_x, (f, p, 4))
@@ -136,7 +145,7 @@ class StreamingDetector:
                 t_cond = jnp.full((f,), pairs[0][0], jnp.int32)
                 logits, pred_boxes, _ = self.model.apply(
                     params, feats, boxes0, pro0, t_cond, state.mem.feats,
-                    mem_mask, mem_dis, mem_dis_mask,
+                    mem_mask, mem_dis, mem_dis_mask, local_kv,
                     method=DiffusionDetArch.refine)
             dets = jax.vmap(
                 lambda lg, bx: postprocess_frame(
@@ -153,7 +162,7 @@ class StreamingDetector:
                 boxes_in = signal_to_boxes(x, whwh, sched.scale)
                 logits, pred_boxes, _ = self.model.apply(
                     params, feats, boxes_in, t_cond, state.mem.feats, mem_mask,
-                    mem_dis, mem_dis_mask,
+                    mem_dis, mem_dis_mask, local_kv,
                     method=DiffusionDetArch.full_forward_test)
 
                 x_start = boxes_to_signal(pred_boxes, whwh, sched.scale)

@@ -73,10 +73,20 @@ def build_detection_model(cfg, dtype=None):
         from .video_archs import FGFAArch
         return FGFAArch(depth=depth, num_classes=ncls, res5_dilation=dil,
                         dtype=dt, **nms_kw)
+    # relation-attention structure (roi_box_feature_extractors.py:333-337):
+    # base_stage = ATTENTION.STAGE, advanced stage count + distill width
+    # from ADVANCED_STAGE / RDN.RATIO · REF_POST_NMS_TOP_N
+    attn = cfg.MODEL.VID.ROI_BOX_HEAD.ATTENTION
+    ref_post = cfg.MODEL.VID.RPN.REF_POST_NMS_TOP_N
+    attn_kw = dict(relation_stages=attn.STAGE,
+                   advanced_stages=attn.ADVANCED_STAGE,
+                   advanced_num=int(ref_post * cfg.MODEL.VID.RDN.RATIO),
+                   ref_post_nms=ref_post)
+
     if method == "rdn":
         from .video_archs import RDNArch
         return RDNArch(depth=depth, num_classes=ncls, res5_dilation=dil,
-                       dtype=dt, **nms_kw)
+                       dtype=dt, **nms_kw, **attn_kw)
     if method == "mega":
         from .video_archs import MEGAArch
         mega = cfg.MODEL.VID.MEGA
@@ -85,7 +95,7 @@ def build_detection_model(cfg, dtype=None):
                         use_stage_mem=mega.MEMORY.ENABLE,
                         mem_frames=mega.MEMORY.SIZE,
                         pixel_attend_local=mega.LOCAL.PIXEL_ATTEND,
-                        dtype=dt, **nms_kw)
+                        dtype=dt, **nms_kw, **attn_kw)
     if method == "dafa":
         from .dafa import SparseRCNNDAFA
         mega = cfg.MODEL.VID.MEGA

@@ -57,8 +57,11 @@ def cosine_beta_schedule(timesteps: int = 1000, s: float = 0.008) -> np.ndarray:
 
 
 def make_schedule(timesteps: int = 1000, scale: float = 2.0) -> DiffusionSchedule:
+    # derive every buffer in float64 and cast at the end (the reference
+    # registers float64-computed buffers that only become fp32 on .float();
+    # computing 1/ac - 1 directly in fp32 loses ~3 digits at small t)
     betas = cosine_beta_schedule(timesteps)
-    ac = np.cumprod(1.0 - betas).astype(np.float32)
+    ac = np.cumprod(1.0 - betas)
     return DiffusionSchedule(
         betas=jnp.asarray(betas, jnp.float32),
         alphas_cumprod=jnp.asarray(ac),
@@ -169,6 +172,8 @@ class DiffusionDetArch(nn.Module):
     num_heads: int = 3
     num_heads_local: int = 1
     res_stage: int = 1              # VID.MEGA.GLOBAL.RES_STAGE
+    local_stages: int = 0           # VID.ROI_BOX_HEAD.ATTENTION.ENABLE/STAGE
+    global_enable: bool = True      # VID.MEGA.GLOBAL.ENABLE
     backbone_type: str = "resnet"   # "resnet" | "swin"
     swin_size: str = "B-22k"
     fpn_in: Sequence[str] = ("res3", "res4", "res5")
@@ -189,6 +194,10 @@ class DiffusionDetArch(nn.Module):
             num_heads=dd.NUM_HEADS,
             num_heads_local=dd.NUM_HEADS_LOCAL,
             res_stage=cfg.MODEL.VID.MEGA.GLOBAL.RES_STAGE,
+            local_stages=(cfg.MODEL.VID.ROI_BOX_HEAD.ATTENTION.STAGE
+                          if cfg.MODEL.VID.ROI_BOX_HEAD.ATTENTION.ENABLE
+                          else 0),
+            global_enable=bool(cfg.MODEL.VID.MEGA.GLOBAL.ENABLE),
             backbone_type="swin" if is_swin else "resnet",
             swin_size=cfg.MODEL.SWIN.SIZE if is_swin else "B-22k",
             fpn_in=tuple(cfg.MODEL.FPN.IN_FEATURES),
@@ -217,7 +226,8 @@ class DiffusionDetArch(nn.Module):
         self.head = DynamicHead(
             num_classes=self.num_classes, d_model=self.hidden_dim,
             num_heads=self.num_heads, num_heads_local=self.num_heads_local,
-            global_stages=self.res_stage,
+            global_stages=self.res_stage, local_stages=self.local_stages,
+            global_enable=self.global_enable,
             top_k=(k1, k2), dtype=self.compute_dtype, name="head")
 
     @property
@@ -257,20 +267,25 @@ class DiffusionDetArch(nn.Module):
                 inter_boxes[-1].astype(jnp.float32), pro_features, k1, k2)
 
     def refine(self, feats, bboxes, pro_features, t, memory, memory_mask,
-               memory_dis=None, memory_dis_mask=None):
+               memory_dis=None, memory_dis_mask=None,
+               local_kv=None, local_kv_mask=None):
         """Global cross-attention + conditioned stage (one DDIM model call
         on the current batch, diffusion_det.py:551-557 + box_head.py:319-424).
         With NUM_HEADS_LOCAL=0 (plain DiffusionDet) the cached shared-stage
         outputs ARE the detections — callers should use full_forward_test.
-        RES_STAGE≥2 additionally consumes the 150-slot distinct memory."""
+        RES_STAGE≥2 additionally consumes the 150-slot distinct memory;
+        ``local_kv`` is the ATTENTION.ENABLE local-queue top-k features
+        (diffusion_det.py:512)."""
         logits, boxes, pro = self.head.condition(
             feats, self.spatial_scales, bboxes, pro_features, t,
             memory, memory_mask, train=False,
-            memory_dis=memory_dis, memory_dis_mask=memory_dis_mask)
+            memory_dis=memory_dis, memory_dis_mask=memory_dis_mask,
+            local_kv=local_kv, local_kv_mask=local_kv_mask)
         return logits[-1].astype(jnp.float32), boxes[-1].astype(jnp.float32), pro
 
     def full_forward_test(self, feats, bboxes, t, memory, memory_mask,
-                          memory_dis=None, memory_dis_mask=None):
+                          memory_dis=None, memory_dis_mask=None,
+                          local_kv=None, local_kv_mask=None):
         """Full stack at test time (multi-step DDIM re-runs the shared
         stages each step — box_head.py:286-299 with sampling_timesteps>1,
         then the conditioned path when NUM_HEADS_LOCAL > 0)."""
@@ -283,5 +298,6 @@ class DiffusionDetArch(nn.Module):
         logits, boxes, pro = self.head.condition(
             feats, self.spatial_scales, last_boxes, pro_features, t,
             memory, memory_mask, train=False,
-            memory_dis=memory_dis, memory_dis_mask=memory_dis_mask)
+            memory_dis=memory_dis, memory_dis_mask=memory_dis_mask,
+            local_kv=local_kv, local_kv_mask=local_kv_mask)
         return logits[-1].astype(jnp.float32), boxes[-1].astype(jnp.float32), pro

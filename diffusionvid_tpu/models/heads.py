@@ -355,6 +355,15 @@ class DynamicHead(nn.Module):
     pooler_resolution: int = 7
     sampling_ratio: int = 2
     global_stages: int = 1
+    # Local temporal attention (ATTENTION.ENABLE/STAGE, box_head.py:184-194):
+    # per-stage MultiheadAttention + LayerNorm over the local frame queue's
+    # top-k features.  The reference's adaptive-norm path uses the LAST
+    # loop's output as the conditioning signal (box_head.py:361-394), so
+    # with GLOBAL.ENABLE=True the global chain overwrites the local result
+    # — the local output only conditions the decoder when the global
+    # attention is off, and we reproduce exactly that.
+    local_stages: int = 0
+    global_enable: bool = True
     top_k: tuple = (75, 25)
     prior_prob: float = 0.01
     p_uncond: float = 0.1
@@ -376,7 +385,14 @@ class DynamicHead(nn.Module):
             MultiheadAttention(self.d_model, self.nheads, dtype=self.dtype,
                                name=f"global_attn{i}")
             for i in range(self.global_stages)
+        ] if self.global_enable else []
+        self.local_attention = [
+            MultiheadAttention(self.d_model, self.nheads, dtype=self.dtype,
+                               name=f"local_attn{i}")
+            for i in range(self.local_stages)
         ]
+        self.local_norm = [LayerNorm(self.d_model, name=f"local_norm{i}")
+                           for i in range(self.local_stages)]
         self.time_fc1 = Linear(self.d_model * 4, dtype=self.dtype, name="time_fc1")
         self.time_fc2 = Linear(self.d_model * 4, dtype=self.dtype, name="time_fc2")
 
@@ -412,7 +428,8 @@ class DynamicHead(nn.Module):
 
     def condition(self, features, spatial_scales, bboxes, pro_features, t,
                   memory, memory_mask, train: bool = False,
-                  memory_dis=None, memory_dis_mask=None):
+                  memory_dis=None, memory_dis_mask=None,
+                  local_kv=None, local_kv_mask=None):
         """Global cross-attention + conditioned stage(s).
 
         pro_features [B, N, D]; memory [M, D] diverse global memory (or the
@@ -422,8 +439,16 @@ class DynamicHead(nn.Module):
         queries for a first attention over the diverse memory, then the
         refined distinct slice keys the second attention (box_head.py:
         367-385 ``global_kv_[1]`` split + the two-stage update_lm design,
-        roi_box_feature_extractors.py:1174-1211).  Returns per-stage
-        (logits, boxes) lists.
+        roi_box_feature_extractors.py:1174-1211).
+
+        ``local_kv``: per-stage local-queue key features (sequence of
+        [K_i, D], at test the queue's top-75 / top-25 features —
+        diffusion_det.py:512 ``proposal_feats_local``); ``local_kv_mask``
+        matching validity.  Per the reference's adaptive-norm data flow the
+        local chain's output becomes the conditioning ONLY when the global
+        attention is disabled (box_head.py:361-394: ``attn_`` is
+        overwritten by the global loop).  Returns per-stage (logits, boxes)
+        lists.
         """
         b, n, d = pro_features.shape
         time_emb = self.time_embedding(t)
@@ -431,6 +456,46 @@ class DynamicHead(nn.Module):
         # One flattened sequence of all frames' proposals attends to the
         # global memory (reference: seq-major batch=1, box_head.py:365-374).
         query = pro_features.reshape(1, b * n, d)
+
+        attn = None
+        if self.local_stages > 0 and local_kv is not None:
+            # local box-level attention (box_head.py:361-365): stage i keys
+            # on local_kv[i]; LayerNorm, no residual, last stage wins.
+            for i in range(self.local_stages):
+                j = min(i, len(local_kv) - 1)
+                lkv = local_kv[j][None].astype(query.dtype)
+                lkm = (None if local_kv_mask is None
+                       else local_kv_mask[j][None])
+                a = self.local_attention[i](query, lkv, lkv, key_mask=lkm)
+                attn = self.local_norm[i](a)
+
+        if not self.global_enable:
+            if attn is None:
+                raise ValueError(
+                    "conditioned stages need a conditioning signal: enable "
+                    "GLOBAL.ENABLE or pass local_kv with ATTENTION.ENABLE")
+            attn = attn.reshape(b, n, d)
+        else:
+            attn = self._global_chain(query, memory, memory_mask, memory_dis,
+                                      memory_dis_mask, b, n, d)
+
+        if train:
+            # Classifier-free guidance: null the condition for random frames
+            # (box_head.py:386-394).
+            null = jax.random.uniform(self.make_rng("cfg"), (b,)) < self.p_uncond
+            attn = jnp.where(null[:, None, None], 0.0, attn)
+
+        inter_logits, inter_boxes = [], []
+        for head in self.head_series_cond:
+            logits, pred, pro_features = head(features, spatial_scales, bboxes,
+                                              pro_features, time_emb, cond=attn)
+            inter_logits.append(logits)
+            inter_boxes.append(pred)
+            bboxes = jax.lax.stop_gradient(pred)
+        return inter_logits, inter_boxes, pro_features
+
+    def _global_chain(self, query, memory, memory_mask, memory_dis,
+                      memory_dis_mask, b, n, d):
         kv = memory[None].astype(query.dtype)
         if self.global_stages >= 2:
             if memory_dis is None:
@@ -449,22 +514,7 @@ class DynamicHead(nn.Module):
         else:
             attn = self.global_attention[0](query, kv, kv,
                                             key_mask=memory_mask[None])
-        attn = attn.reshape(b, n, d)
-
-        if train:
-            # Classifier-free guidance: null the condition for random frames
-            # (box_head.py:386-394).
-            null = jax.random.uniform(self.make_rng("cfg"), (b,)) < self.p_uncond
-            attn = jnp.where(null[:, None, None], 0.0, attn)
-
-        inter_logits, inter_boxes = [], []
-        for head in self.head_series_cond:
-            logits, pred, pro_features = head(features, spatial_scales, bboxes,
-                                              pro_features, time_emb, cond=attn)
-            inter_logits.append(logits)
-            inter_boxes.append(pred)
-            bboxes = jax.lax.stop_gradient(pred)
-        return inter_logits, inter_boxes, pro_features
+        return attn.reshape(b, n, d)
 
     def __call__(self, features, spatial_scales, bboxes, t, num_global: int,
                  train: bool = True):
@@ -489,10 +539,20 @@ class DynamicHead(nn.Module):
         global_kv = k1_feats[-g:].reshape(-1, self.d_model) if g > 0 else k1_feats.reshape(-1, self.d_model)
         kv_mask = jnp.ones((global_kv.shape[0],), bool)
 
+        local_kv = None
+        if self.local_stages > 0:
+            # ATTENTION.ENABLE training: the leading (local) frames' top-k
+            # features key the local chain (box_head.py:325-329
+            # local_interval=3).  Unlike the reference we keep the
+            # conditioned stage on ALL frames rather than slicing queries/
+            # losses to the local frames — static shapes under jit.
+            nl = min(3, k1_feats.shape[0])
+            local_kv = (k1_feats[:nl].reshape(-1, self.d_model),)
+
         last_boxes = jax.lax.stop_gradient(inter_boxes[-1])
         cond_logits, cond_boxes, _ = self.condition(
             features, spatial_scales, last_boxes, pro_features, t,
-            global_kv, kv_mask, train=train)
+            global_kv, kv_mask, train=train, local_kv=local_kv)
 
         all_logits = jnp.stack(inter_logits + cond_logits)
         all_boxes = jnp.stack(inter_boxes + cond_boxes)

@@ -198,4 +198,37 @@ class RelationStack(nn.Module):
                                     dtype=self.dtype, name=f"attn{i}")(
                 x, keys, pos, key_valid)
             x = x + att
+
+        if self.advanced_stages > 0:
+            # distill: top advanced_num of each group_size ref-frame group
+            # (prefix slice == top-k: RPN emits score-ordered proposals)
+            gs, k = self.group_size, self.advanced_num
+            d = self.feat_dim
+            nl = m // gs
+            adv = ref_feat.reshape(nl, gs, d)[:, :k].reshape(nl * k, d)
+            adv_boxes = ref_boxes.reshape(nl, gs, 4)[:, :k].reshape(nl * k, 4)
+            adv_valid = ref_valid.reshape(nl, gs)[:, :k].reshape(nl * k)
+            # adv proposals attend over the FULL ref set with their own
+            # geometry (cal_position_embedding(rois_ref_adv, rois_ref))
+            pos_adv = position_embedding(
+                position_matrix(adv_boxes, ref_boxes), self.emb_dim)
+            for i in range(self.advanced_stages):
+                j = self.num_stages + i
+                att = RelationAttention(self.feat_dim, self.groups,
+                                        self.emb_dim, dtype=self.dtype,
+                                        name=f"attn{j}")(
+                    adv, ref_feat, pos_adv, ref_valid)
+                # reference order in the advanced loop: attention first,
+                # then relu(fc) (roi_box_feature_extractors.py:417-421)
+                adv = nn.relu(Linear(self.feat_dim, dtype=self.dtype,
+                                     name=f"fc{j}")(adv + att))
+            # final: cur proposals attend over the distilled set, with the
+            # cur↔refs embedding sliced to the distilled columns
+            pos_cur_adv = (pos[:, :m].reshape(n, nl, gs, self.emb_dim)
+                           [:, :, :k].reshape(n, nl * k, self.emb_dim))
+            j = self.num_stages + self.advanced_stages
+            att = RelationAttention(self.feat_dim, self.groups, self.emb_dim,
+                                    dtype=self.dtype, name=f"attn{j}")(
+                x, adv, pos_cur_adv, adv_valid)
+            x = x + att
         return x

@@ -22,6 +22,7 @@ the caller, mirroring the DiffusionVID streaming engine design.
 
 from __future__ import annotations
 
+import math
 from typing import Any, NamedTuple, Sequence
 
 import flax.linen as nn
@@ -206,7 +207,13 @@ class RDNArch(nn.Module):
     depth: int = 101
     num_classes: int = 31
     feat_dim: int = 1024
-    relation_stages: int = 2
+    relation_stages: int = 2       # MODEL.VID.ROI_BOX_HEAD.ATTENTION.STAGE
+    # ATTENTION.ADVANCED_STAGE / RDN.RATIO: the RDN-base→RDN delta
+    # (roi_box_feature_extractors.py:334-347); advanced_num =
+    # int(REF_POST_NMS_TOP_N · RDN.RATIO)
+    advanced_stages: int = 0
+    advanced_num: int = 15
+    ref_post_nms: int = 75         # MODEL.VID.RPN.REF_POST_NMS_TOP_N
     pre_nms: int = 2000
     post_nms: int = 300
     pre_nms_train: int = 2000
@@ -232,6 +239,7 @@ class RDNArch(nn.Module):
                                         post_nms_test=self.post_nms,
                                         pre_nms_train=self.pre_nms_train,
                                         post_nms_train=self.post_nms_train,
+                                        ref_post_nms=self.ref_post_nms,
                                         res5_dilation=self.res5_dilation,
                                         num_groups=self.num_groups,
                                         width_per_group=self.width_per_group,
@@ -240,6 +248,9 @@ class RDNArch(nn.Module):
         self.relation = RelationStack(num_stages=self.relation_stages,
                                       feat_dim=self.feat_dim,
                                       joint=self.joint,
+                                      advanced_stages=self.advanced_stages,
+                                      advanced_num=self.advanced_num,
+                                      group_size=self.ref_post_nms,
                                       dtype=self.dtype, name="relation")
         self.predictor = FastRCNNPredictor(self.num_classes, name="predictor")
         if self.pixel_attend_local:
@@ -262,6 +273,12 @@ class RDNArch(nn.Module):
         px = ref_feat.reshape(n, c)
         k = max(1, int(round(n * self.pixel_sparse)))
         stride = max(1, n // k)
+        # a stride sharing factors with the row width collapses the
+        # lattice onto a few repeated columns; step down to the nearest
+        # stride coprime with w so the sample covers the map uniformly
+        # (stands in for the reference's per-frame randperm)
+        while stride > 1 and math.gcd(stride, w) != 1:
+            stride -= 1
         mem = px[::stride][:k]
         return self.pixel_attn(cur_feat[0], memory=mem)[None]
 

@@ -57,6 +57,30 @@ def test_mega_runner(ds):
 
 
 @pytest.mark.slow
+def test_mega_runner_shuffled_cur(ds):
+    """MODEL.VID.MEGA.SHUFFLED_CUR_TEST (vid_mega.py:13-14, 166-186):
+    frames are VISITED in a shuffled per-video order with the local queue
+    reduced to the current frame, but predictions must come out
+    frame-aligned — every slot filled, finite boxes."""
+    from diffusionvid_tpu.models.video_archs import MEGAArch
+    model = MEGAArch(depth=50, num_classes=31, memory_size=32,
+                     pre_nms=64, post_nms=16)
+    h, w = 96, 160
+    cur = jnp.zeros((1, h, w, 3))
+    refs = jnp.zeros((2, h, w, 3))
+    state = model.init_state()
+    variables = model.init({"params": jax.random.PRNGKey(0)}, cur, refs,
+                           (h, w), state=state)
+    preds, gts, _ = run_inference_video_arch(
+        model, variables, ds, CFG, method="mega", max_videos=1,
+        shuffled_cur=True)
+    assert len(preds) == 6
+    for p in preds:
+        assert p is not None
+        assert np.isfinite(p["boxes"]).all()
+
+
+@pytest.mark.slow
 def test_base_runner_multiscale_tta(ds):
     """TEST.BBOX_AUG with h-flip + a scale variant: detections from every
     augmentation land in the same (original-image) coordinate frame and

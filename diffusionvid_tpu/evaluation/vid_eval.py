@@ -224,6 +224,62 @@ def corloc(gt_list, pred_list, iou_thresh: float = 0.5):
     return out, avg
 
 
+def _iou_matrix_plus1(a, b):
+    """Plain +1-pixel-width IoU with NO corner shift — the boxlist_iou
+    convention the proposal-recall path uses (boxlist_ops.py:53-89, unlike
+    the detection path's extra far-corner +1)."""
+    aw = a[:, 2] - a[:, 0] + 1
+    ah = a[:, 3] - a[:, 1] + 1
+    bw = b[:, 2] - b[:, 0] + 1
+    bh = b[:, 3] - b[:, 1] + 1
+    area_a = aw * ah
+    area_b = bw * bh
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt + 1, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / (area_a[:, None] + area_b[None, :] - inter)
+
+
+def eval_proposals(gt_list, pred_list, iou_thresh: float = 0.5,
+                   limit: int = 300):
+    """Proposal recall — the ``box_only`` / MODEL.RPN_ONLY evaluation mode
+    (vid_eval.py:85-130 ``eval_proposals_vid``).
+
+    Per frame: order proposals by objectness (falls back to "scores"),
+    cap at ``limit``, then greedily match — each round takes, over GTs,
+    the best (per-GT max-IoU) pair, records its IoU, and retires both the
+    proposal and the GT.  Recall = fraction of all GTs whose recorded
+    overlap clears ``iou_thresh``.
+    """
+    gt_overlaps = []
+    num_pos = 0
+    for gt, pred in zip(gt_list, pred_list):
+        boxes = np.asarray(pred["boxes"], np.float64).reshape(-1, 4)
+        obj = np.asarray(pred.get("objectness", pred.get("scores")),
+                         np.float64).reshape(-1)
+        order = np.argsort(-obj)
+        boxes = boxes[order][:limit]
+        gt_boxes = np.asarray(gt["boxes"], np.float64).reshape(-1, 4)
+        num_pos += len(gt_boxes)
+        if len(gt_boxes) == 0 or len(boxes) == 0:
+            continue
+        overlaps = _iou_matrix_plus1(boxes, gt_boxes)
+        per_gt = np.zeros(len(gt_boxes))
+        for j in range(min(len(boxes), len(gt_boxes))):
+            max_overlaps = overlaps.max(axis=0)       # best proposal per GT
+            argmax_overlaps = overlaps.argmax(axis=0)
+            gt_ind = int(max_overlaps.argmax())       # easiest GT first
+            box_ind = int(argmax_overlaps[gt_ind])
+            per_gt[j] = overlaps[box_ind, gt_ind]
+            overlaps[box_ind, :] = -1
+            overlaps[:, gt_ind] = -1
+        gt_overlaps.append(per_gt)
+    flat = np.concatenate(gt_overlaps) if gt_overlaps else np.zeros(0)
+    recall = float((flat >= iou_thresh).sum()) / max(float(num_pos), 1.0)
+    return {"recall": recall}
+
+
 MOTION_RANGES = ((0.0, 1.0), (0.0, 0.7), (0.7, 0.9), (0.9, 1.0))
 MOTION_NAMES = ("all", "fast", "medium", "slow")
 

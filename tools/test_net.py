@@ -70,6 +70,9 @@ def main():
                         help="path to vid_groundtruth_motion_iou.mat "
                              "(reference vid_eval.py:144)")
     parser.add_argument("--seq-nms", action="store_true")
+    parser.add_argument("--box-only", action="store_true",
+                        help="proposal-recall evaluation instead of AP "
+                             "(reference MODEL.RPN_ONLY / vid_eval.py:26)")
     parser.add_argument("--profile-dir", default=None,
                         help="write a jax.profiler trace of the run")
     parser.add_argument("--max-videos", type=int, default=None)
@@ -207,7 +210,22 @@ def main():
                 bbox_aug_h_flip=bool(cfg.TEST.BBOX_AUG.H_FLIP),
                 bbox_aug_scales=tuple(cfg.TEST.BBOX_AUG.SCALES),
                 bbox_aug_max_size=int(cfg.TEST.BBOX_AUG.MAX_SIZE),
-                bbox_aug_scale_h_flip=bool(cfg.TEST.BBOX_AUG.SCALE_H_FLIP))
+                bbox_aug_scale_h_flip=bool(cfg.TEST.BBOX_AUG.SCALE_H_FLIP),
+                shuffled_cur=bool(cfg.MODEL.VID.MEGA.SHUFFLED_CUR_TEST))
+
+    if args.box_only or cfg.MODEL.RPN_ONLY:
+        # proposal-recall mode (reference vid_eval.py:26-37, 85-130):
+        # class-agnostic recall over score-ordered proposals, written to
+        # proposal_result.txt instead of the AP pipeline
+        from diffusionvid_tpu.evaluation.vid_eval import eval_proposals
+        rec = eval_proposals(gt_list, predictions)["recall"]
+        line = f"Recall: {rec:.4f}"
+        logger.info(line)
+        if output_dir:
+            with open(os.path.join(output_dir, "proposal_result.txt"),
+                      "w") as fid:
+                fid.write(line)
+        return
 
     if args.num_shards > 1:
         # cross-shard merge: evaluate only once all shards have written

@@ -109,22 +109,30 @@ class WindowAttention(nn.Module):
                 .astype(jnp.float32))
 
         import os
-        # fused-kernel default is OFF until TPU-adjudicated (the einsum
-        # path is the measured 67.9 fps/chip configuration); opt in with
-        # DIFFUSIONVID_SWIN_KERNEL=v1 (maps-in) or v2 (qkv in-kernel)
-        kernel_mode = os.environ.get("DIFFUSIONVID_SWIN_KERNEL", "off")
-        # inference-only: the kernels define no custom VJP, so training
-        # passes (train=True) always take the differentiable einsum path
+        # v2 (qkv folded into the kernel) is the adjudicated default:
+        # real-chip head-to-head (round 4, tools/adjudicate_kernels.py)
+        # measured off=51.9 / v1=73.5 / v2=79.1 fps/chip on Swin-B ×1.
+        # DIFFUSIONVID_SWIN_KERNEL=off|v1 selects the other modes.
+        kernel_mode = os.environ.get("DIFFUSIONVID_SWIN_KERNEL", "v2")
+        # v2 is usable in training too: it carries a custom VJP whose
+        # backward recomputes through the einsum twin
+        # (ops/swin_attention_pallas.py:_fwa_bwd).  v1 stays
+        # inference-only (no VJP).
         use_kernel = (jax.default_backend() in ("tpu", "axon")
                       and hp % w == 0 and wpx % w == 0
-                      and kernel_mode in ("v1", "v2") and not train
+                      and kernel_mode in ("v1", "v2")
+                      and (not train or kernel_mode == "v2")
                       and not os.environ.get("DIFFUSIONVID_SWIN_NO_KERNEL"))
         m4 = (None if mask is None else
               mask.reshape(hp // w, wpx // w, n, n))
         if use_kernel and kernel_mode == "v2":
             # v2: qkv fused in-kernel — q/k/v maps never touch HBM
-            from ..ops.swin_attention_pallas import fused_window_attention_qkv
-            out = fused_window_attention_qkv(x, wqkv, bqkv, bias, m4, w, h)
+            from ..ops.swin_attention_pallas import (
+                fused_window_attention_qkv,
+                fused_window_attention_qkv_trainable)
+            fn = (fused_window_attention_qkv_trainable if train
+                  else fused_window_attention_qkv)
+            out = fn(x, wqkv, bqkv, bias, m4, w, h)
         elif use_kernel:
             # three matmuls against weight row-slices instead of one matmul
             # + a [B, Hp, Wp, 3, h, dh] reshape-transpose: the split/

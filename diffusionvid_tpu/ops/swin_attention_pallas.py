@@ -201,6 +201,74 @@ def fused_window_attention_qkv(x, wqkv, bqkv, bias, mask, window: int,
     )(*args)
 
 
+def _einsum_window_attention_qkv(x, wqkv, bqkv, bias, mask, window: int,
+                                 num_heads: int):
+    """Pure-jnp twin of the v2 kernel (same semantics incl. the bf16
+    score round-trip) — the recompute target for the training VJP."""
+    b, hp, wp, c = x.shape
+    w = window
+    h = num_heads
+    dh = c // h
+    n = w * w
+    wd = wqkv.astype(x.dtype)
+    bd = bqkv.astype(x.dtype)
+    q = x @ wd[:c].T + bd[:c]
+    k = x @ wd[c:2 * c].T + bd[c:2 * c]
+    v = x @ wd[2 * c:].T + bd[2 * c:]
+
+    def part(z):
+        z = z.reshape(b, hp // w, w, wp // w, w, c).transpose(0, 1, 3, 2, 4, 5)
+        return z.reshape(-1, n, h, dh)
+
+    qw, kw, vw = part(q), part(k), part(v)
+    nb = qw.shape[0]
+    attn = jnp.einsum("bnhd,bmhd->bhnm", qw, kw,
+                      preferred_element_type=jnp.float32) * (dh ** -0.5)
+    attn = attn.astype(x.dtype).astype(jnp.float32) + bias[None]
+    if mask is not None:
+        nw = mask.reshape(-1, n, n).shape[0]
+        attn = (attn.reshape(nb // nw, nw, h, n, n)
+                + mask.reshape(nw, n, n)[None, :, None])
+        attn = attn.reshape(nb, h, n, n)
+    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+    ow = jnp.einsum("bhnm,bmhd->bnhd", attn, vw).reshape(
+        b, hp // w, wp // w, w, w, c)
+    return ow.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_window_attention_qkv_trainable(x, wqkv, bqkv, bias, mask,
+                                         window: int, num_heads: int):
+    """v2 kernel with a training VJP: the forward runs the fused Pallas
+    kernel (one HBM read of x, no q/k/v maps in HBM); the backward
+    recomputes through the einsum twin and differentiates it — the fused
+    forward's relayout savings carry into train steps while the gradient
+    stays the (tested) XLA formulation.  ``mask`` gets a zero cotangent
+    (it is a constant SW-MSA mask, never a parameter)."""
+    return fused_window_attention_qkv(x, wqkv, bqkv, bias, mask, window,
+                                      num_heads)
+
+
+def _fwa_fwd(x, wqkv, bqkv, bias, mask, window, num_heads):
+    out = fused_window_attention_qkv(x, wqkv, bqkv, bias, mask, window,
+                                     num_heads)
+    return out, (x, wqkv, bqkv, bias, mask)
+
+
+def _fwa_bwd(window, num_heads, res, g):
+    x, wqkv, bqkv, bias, mask = res
+    _, vjp = jax.vjp(
+        lambda x_, w_, b_, bi_: _einsum_window_attention_qkv(
+            x_, w_, b_, bi_, mask, window, num_heads),
+        x, wqkv, bqkv, bias)
+    gx, gw, gb, gbias = vjp(g)
+    gmask = None if mask is None else jnp.zeros_like(mask)
+    return (gx, gw, gb, gbias, gmask)
+
+
+fused_window_attention_qkv_trainable.defvjp(_fwa_fwd, _fwa_bwd)
+
+
 def fused_window_attention(q, k, v, bias, mask, window: int,
                            num_heads: int | None = None):
     """Windowed MHA over padded feature maps, no partition round-trip.

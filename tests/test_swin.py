@@ -182,3 +182,48 @@ def test_fused_window_attention_qkv_matches_interpreted():
             got = fused_window_attention_qkv(x, wqkv, bqkv, bias, m4, w, h)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=5e-5, rtol=1e-4)
+
+
+def test_fused_window_attention_qkv_vjp_matches_einsum_grads():
+    """The training wrapper's custom VJP (fused forward + einsum-recompute
+    backward) must produce the same gradients as differentiating the
+    einsum twin directly, for x / wqkv / bqkv / bias, masked and not."""
+    from jax.experimental.pallas import tpu as pltpu
+    from diffusionvid_tpu.ops.swin_attention_pallas import (
+        fused_window_attention_qkv_trainable, _einsum_window_attention_qkv)
+
+    rng = np.random.RandomState(3)
+    b, hp, wp, c, h, w = 1, 14, 14, 32, 4, 7
+    n = w * w
+    x = jnp.asarray(rng.randn(b, hp, wp, c).astype(np.float32))
+    wqkv = jnp.asarray(rng.randn(3 * c, c).astype(np.float32)) * 0.1
+    bqkv = jnp.asarray(rng.randn(3 * c).astype(np.float32)) * 0.1
+    bias = jnp.asarray(rng.randn(h, n, n).astype(np.float32))
+    mask = jnp.asarray(_shift_attn_mask(hp, wp, w, 3))
+    g = jnp.asarray(rng.randn(b, hp, wp, c).astype(np.float32))
+
+    for m in (None, mask):
+        m4 = None if m is None else m.reshape(hp // w, wp // w, n, n)
+
+        def loss_kernel(x_, w_, b_, bi_):
+            out = fused_window_attention_qkv_trainable(x_, w_, b_, bi_,
+                                                       m4, w, h)
+            return jnp.sum(out * g)
+
+        def loss_einsum(x_, w_, b_, bi_):
+            out = _einsum_window_attention_qkv(x_, w_, b_, bi_, m4, w, h)
+            return jnp.sum(out * g)
+
+        with pltpu.force_tpu_interpret_mode():
+            val_k, grads_k = jax.value_and_grad(
+                loss_kernel, argnums=(0, 1, 2, 3))(x, wqkv, bqkv, bias)
+        val_e, grads_e = jax.value_and_grad(
+            loss_einsum, argnums=(0, 1, 2, 3))(x, wqkv, bqkv, bias)
+
+        np.testing.assert_allclose(float(val_k), float(val_e),
+                                   rtol=1e-5, atol=1e-4)
+        for gk, ge, name in zip(grads_k, grads_e,
+                                ("x", "wqkv", "bqkv", "bias")):
+            np.testing.assert_allclose(np.asarray(gk), np.asarray(ge),
+                                       rtol=1e-4, atol=2e-4,
+                                       err_msg=name)

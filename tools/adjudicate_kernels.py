@@ -84,10 +84,9 @@ def adjudicate_roi_bwd():
     params = variables["params"]
     tx = make_optimizer(params, base_lr=1e-4, warmup_iters=0)
     for mode in ("off", "on"):
-        if mode == "on":
-            os.environ["DIFFUSIONVID_ROI_BWD_KERNEL"] = "1"
-        else:
-            os.environ.pop("DIFFUSIONVID_ROI_BWD_KERNEL", None)
+        # the kernel is default-ON (roi_align.py reads unset as "1"), so
+        # the off row must set "0" explicitly, not unset the var
+        os.environ["DIFFUSIONVID_ROI_BWD_KERNEL"] = "1" if mode == "on" else "0"
         jax.clear_caches()
         state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
         step = jax.jit(make_train_step(model, tx, num_global))

@@ -264,6 +264,22 @@ def bench_adjudicate(r101_model, r101_variables, swin_built):
         print(f"# roi-bwd-off train variant skipped: {e!r}"[:300],
               flush=True)
     os.environ.pop("DIFFUSIONVID_ROI_BWD_KERNEL", None)
+    # ROIAlign forward v3 (round-3 one-hot VPU x-pass) vs the default v4
+    # (MXU-dot x-pass, native row-major flat store): the default-path
+    # headline above measures v4; this line keeps the v3 regression
+    # reference in every BENCH_rN.
+    os.environ["DIFFUSIONVID_ROI_FWD_VERSION"] = "3"
+    try:
+        import jax as _jax
+        _jax.clear_caches()
+        model, variables, whwh, frames = build(101, "resnet", INFER_BATCH)
+        det, state = make_detector(model, variables, INFER_BATCH, 1)
+        fps = stream_fps(det, state, frames, whwh, INFER_BATCH, chunks=30)
+        emit("diffusionvid_r101_x1_stream_inference_roifwd_v3", fps,
+             "frames/sec/chip", REFERENCE_FPS)
+    except Exception as e:
+        print(f"# roi-fwd-v3 variant skipped: {e!r}"[:300], flush=True)
+    os.environ.pop("DIFFUSIONVID_ROI_FWD_VERSION", None)
 
 
 def _probe_device(timeout_s=600):

@@ -162,27 +162,20 @@ class OutLayer(nn.Module):
     """DynamicConv out-projection over the flattened [49·D] features.
 
     Same parameter as ``Linear`` (torch weight [D, 49·D], columns in
-    (y, x, c) flatten order).  With ``x_major`` the input positions are
-    (x, y)-ordered, so the weight's position blocks are transposed at
-    use — a 12.8 MB weight relayout instead of a [S, 49·D] activation
-    relayout."""
+    (y, x, c) flatten order).  The pooled positions arrive in row-major
+    (py, px) order — the v4 ROIAlign kernel's native store order and the
+    torch flatten order — so converted weights apply unmodified."""
 
     features: int
     pooler_resolution: int = 7
-    x_major: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         in_f = x.shape[-1]
-        p = self.pooler_resolution
         w = self.param("weight", nn.initializers.xavier_uniform(),
                        (self.features, in_f))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
-        if self.x_major:
-            c = in_f // (p * p)
-            w = (w.reshape(self.features, p, p, c).transpose(0, 2, 1, 3)
-                 .reshape(self.features, in_f))
         return x @ w.T.astype(self.dtype) + b.astype(self.dtype)
 
 
@@ -197,19 +190,16 @@ class DynamicConv(nn.Module):
     hidden_dim: int = 256
     dim_dynamic: int = 64
     pooler_resolution: int = 7
-    x_major: bool = False   # roi positions are x-major: permute out_layer cols
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, pro_features, roi_features):
         """pro_features [S, D]; roi_features [S, 49, D] → [S, D].
 
-        With ``x_major=True`` the 49 pooled positions arrive transposed
-        ([px, py] instead of the torch [py, px] flatten order); every op
-        here is permutation-invariant over positions except the final
-        flatten → ``out_layer`` matmul, where the permutation is folded
-        into the (much smaller) weight instead of relaying out the
-        [S, 49·D] activation."""
+        The 49 pooled positions arrive row-major ((py, px) — the torch
+        flatten order, natively emitted by the v4 ROIAlign kernel), so
+        the final flatten → ``out_layer`` matmul consumes converted
+        weights unmodified."""
         d, dd = self.hidden_dim, self.dim_dynamic
         p1t, p2t = DynParamLinear(d, dd, dtype=self.dtype,
                                   name="dynamic_layer")(pro_features)
@@ -223,7 +213,7 @@ class DynamicConv(nn.Module):
         x = nn.relu(LayerNorm(d, name="norm2")(x))
 
         x = x.reshape(x.shape[0], -1)  # [S, 49*D]
-        x = OutLayer(d, self.pooler_resolution, self.x_major,
+        x = OutLayer(d, self.pooler_resolution,
                      dtype=self.dtype, name="out_layer")(x)
         return nn.relu(LayerNorm(d, name="norm3")(x))
 
@@ -260,16 +250,15 @@ class RCNNHead(nn.Module):
         d = self.d_model
         b, n = bboxes.shape[:2]
 
-        # x_major: take the Pallas kernel's native flat [B, N, 49, C]
-        # store order ((px, py)-major); every consumer below is
-        # permutation-invariant over the 49 positions except DynamicConv's
-        # out_layer, which folds the transposition into its weight
-        # (saves the y/x transpose + 7·7→49 re-pad relayouts per stage).
+        # flat: take the Pallas kernel's native flat [B, N, 49, C] store
+        # order — row-major (py, px), i.e. the torch flatten order (saves
+        # the y/x transpose + 7·7→49 re-pad relayouts per stage, and
+        # converted out_layer weights apply unmodified).
         roi = multilevel_roi_align_auto(
             features, bboxes, spatial_scales,
             output_size=self.pooler_resolution,
-            sampling_ratio=self.sampling_ratio, x_major=True,
-        )  # [B, N, 49, C] (px, py)-major
+            sampling_ratio=self.sampling_ratio, flat=True,
+        )  # [B, N, 49, C] row-major
         roi = roi.reshape(b * n, self.pooler_resolution ** 2, d)
 
         if pro_features is None:
@@ -282,7 +271,7 @@ class RCNNHead(nn.Module):
 
         # Dynamic instance interaction with the pooled features.
         inter = DynamicConv(d, pooler_resolution=self.pooler_resolution,
-                            x_major=True, dtype=self.dtype,
+                            dtype=self.dtype,
                             name="inst_interact")(
             x.reshape(b * n, d), roi)
         x = LayerNorm(d, name="norm2")(x + inter.reshape(b, n, d))

@@ -180,23 +180,23 @@ import jax
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _pallas_roi_align_diff(features, rois, spatial_scales, output_size,
-                           sampling_ratio, x_major):
+                           sampling_ratio, flat):
     from .roi_align_pallas import multilevel_roi_align_mxu
     return multilevel_roi_align_mxu(list(features), rois, spatial_scales,
                                     output_size, sampling_ratio,
-                                    x_major=x_major)
+                                    flat=flat)
 
 
 def _pra_fwd(features, rois, spatial_scales, output_size, sampling_ratio,
-             x_major):
+             flat):
     out = _pallas_roi_align_diff(features, rois, spatial_scales, output_size,
-                                 sampling_ratio, x_major)
+                                 sampling_ratio, flat)
     return out, (features, rois)
 
 
-def _pra_bwd(spatial_scales, output_size, sampling_ratio, x_major, res, g):
+def _pra_bwd(spatial_scales, output_size, sampling_ratio, flat, res, g):
     """Backward via the banded-transpose Pallas kernel when the forward
-    took the x-major kernel path (no scatter; full-width row adds —
+    took the flat kernel path (no scatter; full-width row adds —
     default ON since the round-3 real-chip adjudication measured the
     flagship train step at 184.8 vs 238.6 ms/step with the XLA scatter
     transpose; kill switch DIFFUSIONVID_ROI_BWD_KERNEL=0), else the
@@ -207,18 +207,18 @@ def _pra_bwd(spatial_scales, output_size, sampling_ratio, x_major, res, g):
 
     features, rois = res
     bwd_kernel = os.environ.get("DIFFUSIONVID_ROI_BWD_KERNEL", "1")
-    if x_major and bwd_kernel not in ("0", "off"):
+    if flat and bwd_kernel not in ("0", "off"):
         from .roi_align_pallas import multilevel_roi_align_bwd_mxu
         shapes = [(f.shape[1], f.shape[2]) for f in features]
         grads = multilevel_roi_align_bwd_mxu(
             g, rois, shapes, spatial_scales, output_size, sampling_ratio,
             out_dtype=features[0].dtype)
         return tuple(grads), jax.numpy.zeros_like(rois)
-    if x_major:
-        # flat (px, py)-major cotangent → [B, R, py, px, C] y-major
+    if flat:
+        # row-major flat cotangent → [B, R, py, px, C] y-major 5D
         b, r, pp, c = g.shape
         p = int(pp ** 0.5)
-        g = g.reshape(b, r, p, p, c).transpose(0, 1, 3, 2, 4)
+        g = g.reshape(b, r, p, p, c)
     _, vjp = jax.vjp(
         lambda f: multilevel_roi_align(list(f), rois, spatial_scales,
                                        output_size, sampling_ratio),
@@ -232,24 +232,23 @@ _pallas_roi_align_diff.defvjp(_pra_fwd, _pra_bwd)
 
 def multilevel_roi_align_auto(features, rois, spatial_scales,
                               output_size: int = 7, sampling_ratio: int = 2,
-                              aligned: bool = True, x_major: bool = False,
+                              aligned: bool = True, flat: bool = False,
                               **kw):
     """Backend dispatch: the Pallas banded kernel on TPU (3-level FPN) with
-    a gather-transpose backward; the XLA gather formulation elsewhere
-    (CPU tests, odd configs).  ``x_major=True`` returns the pooled grid
-    FLAT as [B, R, p·p, C] with positions (px, py)-major (the Pallas
-    kernel's native store order, saving relayout copies on TPU) —
-    callers must fold the 49-permutation into any order-sensitive
-    consumer."""
+    a banded-transpose backward; the XLA gather formulation elsewhere
+    (CPU tests, odd configs).  ``flat=True`` returns the pooled grid FLAT
+    as [B, R, p·p, C] in **row-major (py, px)** order — the torch
+    flatten order (the v4 kernel's native store order), so
+    order-sensitive consumers use converted checkpoint weights
+    unmodified."""
     if (jax.default_backend() in ("tpu", "axon") and len(features) == 3
             and aligned and rois.shape[1] % 50 == 0):
         return _pallas_roi_align_diff(tuple(features), rois,
                                       tuple(spatial_scales), output_size,
-                                      sampling_ratio, x_major)
+                                      sampling_ratio, flat)
     out = multilevel_roi_align(features, rois, spatial_scales, output_size,
                                sampling_ratio, aligned)
-    if x_major:
+    if flat:
         b, r = out.shape[:2]
-        return (out.transpose(0, 1, 3, 2, 4)
-                .reshape(b, r, output_size * output_size, -1))
+        return out.reshape(b, r, output_size * output_size, -1)
     return out

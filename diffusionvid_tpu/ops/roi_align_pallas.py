@@ -200,6 +200,126 @@ def _kernel_v2(level_shapes, f3_ref, f4_ref, f5_ref, lvl_ref, y0_ref, x0_ref,
 _WIN = 48  # narrow-window width: covers extent ≤ 38 cells + 8-align slack
 
 
+def _transpose_perm_matrix(p: int):
+    """[p², p²] one-hot permutation P with P[(a·p+b), (b·p+a)] = 1 — swaps
+    the two minor grid axes of a flat [p², C] tile via one tiny MXU dot
+    (a symmetric involution: the same P maps px-major↔row-major).  Built
+    from iotas so it lowers in Mosaic (no host constants)."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, (p * p, p * p), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (p * p, p * p), 1)
+    src = (ri % p) * p + ri // p
+    return (ci == src).astype(jnp.float32)
+
+
+def _kernel_v4(level_shapes, f3_ref, f4_ref, f5_ref, scal_ref, wy_ref,
+               wxm_ref, wx_ref, o_ref, tn_ref, t_ref, st_ref, *, rb: int,
+               s: int, p: int, sr: int, pad_wl: int):
+    """MXU x-pass variant of ``_kernel_v3``.
+
+    Two changes over v3:
+
+      1. The narrow branch's x-pass is ONE small MXU dot per output row
+         instead of p one-hot VPU reductions over the [p, _WIN, C]
+         window: the per-ROI x weight matrix ``Wx[p, _WIN]`` (band
+         one-hots × 1/sr², folded over the sr sample columns) is
+         precomputed in jnp and the kernel computes
+         ``out[py] = Wx @ tn[py]`` — [p, _WIN]·[_WIN, C] → [p(px), C].
+         The one-hot build (4·sr wheres per column) and the full-window
+         multiply-reduce leave the VPU entirely.
+      2. The output tile is FLAT [1, RB, p·p, C] in **row-major (py, px)**
+         order — the torch ``flatten`` order, so the DynamicConv
+         out-projection consumes it with NO weight permutation and
+         checkpoint conversion is the identity.  The MXU dot emits
+         exactly this order (its rows are px for fixed py).  The wide
+         branch stages px-major rows and applies one [p², p²]
+         permutation dot (``_transpose_perm_matrix``).
+
+    The y-pass accumulates in fp32 (v3 folded in the feature dtype), so
+    v4 is also slightly *more* accurate for bf16 feature maps.
+    """
+    block = pl.program_id(1)
+    inv = 1.0 / (sr * sr)
+
+    def narrow_branch(f_ref):
+        def branch(i, g):
+            wyv = wy_ref[0, g]
+            xs = scal_ref[0, g, 2 * s + 1]
+
+            for j in range(p):                  # windowed, folded y-pass
+                acc = None
+                for u in range(sr):
+                    k = j * sr + u
+                    lo = scal_ref[0, g, k]
+                    rows = f_ref[0, pl.ds(lo, 2),
+                                 pl.ds(pl.multiple_of(xs, 8), _WIN), :]
+                    part = (rows[0].astype(jnp.float32) * wyv[k, 0]
+                            + rows[1].astype(jnp.float32) * wyv[k, 1])
+                    acc = part if acc is None else acc + part
+                tn_ref[j] = acc                 # [_WIN, C] fp32
+
+            wm = wxm_ref[0, g]                  # [p, _WIN] fp32 (inv folded)
+            for py in range(p):
+                acc = jax.lax.dot_general(
+                    wm, tn_ref[py], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # [p(px), C]
+                o_ref[0, i, py * p:(py + 1) * p] = acc.astype(o_ref.dtype)
+
+        return branch
+
+    def wide_branch(f_ref, wl):
+        def branch(i, g):
+            wyv = wy_ref[0, g]
+            wxv = wx_ref[0, g]
+            for j in range(p):
+                acc = None
+                for u in range(sr):
+                    k = j * sr + u
+                    lo = scal_ref[0, g, k]
+                    rows = f_ref[0, pl.ds(lo, 2), :, :]
+                    part = (rows[0].astype(jnp.float32) * wyv[k, 0]
+                            + rows[1].astype(jnp.float32) * wyv[k, 1])
+                    acc = part if acc is None else acc + part
+                t_ref[j] = jnp.pad(acc, ((0, pad_wl - acc.shape[0]), (0, 0)))
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 32, 1), 1)
+            for j7 in range(p):
+                ja = j7 * sr
+                jb = ja + sr - 1
+                lo_a = scal_ref[0, g, s + ja]
+                lo_b = scal_ref[0, g, s + jb]
+                lo8 = pl.multiple_of((jnp.minimum(lo_a, lo_b) // 8) * 8, 8)
+                win = t_ref[:, pl.ds(lo8, 32), :]
+                w32 = jnp.zeros((1, 32, 1), jnp.float32)
+                for u in range(sr):
+                    jx = j7 * sr + u
+                    d = scal_ref[0, g, s + jx] - lo8
+                    w32 = (w32 + jnp.where(lane == d, wxv[jx, 0], 0.0)
+                           + jnp.where(lane == d + 1, wxv[jx, 1], 0.0))
+                acc = jnp.sum(win * (w32 * inv), axis=1)     # [p(py), C]
+                st_ref[j7 * p:(j7 + 1) * p] = acc            # px-major stage
+            perm = _transpose_perm_matrix(p)
+            out = jax.lax.dot_general(
+                perm, st_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # row-major
+            o_ref[0, i] = out.astype(o_ref.dtype)
+
+        return branch
+
+    branches = [narrow_branch(f3_ref),
+                wide_branch(f3_ref, level_shapes[0][1]),
+                narrow_branch(f4_ref),
+                wide_branch(f4_ref, level_shapes[1][1]),
+                narrow_branch(f5_ref),
+                wide_branch(f5_ref, level_shapes[2][1])]
+
+    def roi_loop(i, _):
+        g = block * rb + i
+        jax.lax.switch(scal_ref[0, g, 2 * s], branches, i, g)
+        return 0
+
+    jax.lax.fori_loop(0, rb, roi_loop, 0)
+
+
 def _kernel_v3(level_shapes, f3_ref, f4_ref, f5_ref, scal_ref, wy_ref,
                wx_ref, o_ref, t_ref, tn_ref, *, rb: int, s: int, p: int,
                sr: int, pad_wl: int):
@@ -312,23 +432,29 @@ def multilevel_roi_align_mxu(features: Sequence, rois,
                              output_size: int = 7, sampling_ratio: int = 2,
                              aligned: bool = True, roi_block: int = 50,
                              canonical_box_size: float = 224.0,
-                             canonical_level: int = 4, version: int = 3,
-                             x_major: bool = False):
+                             canonical_level: int = 4,
+                             version: int | None = None,
+                             flat: bool = False):
     """Drop-in replacement for ops.roi_align.multilevel_roi_align backed by
     the Pallas banded-separable kernel (3-level FPN; other configurations
-    fall back to the gather formulation).  ``version=3`` (default) adds the
-    narrow-window path (one 48-wide window per normal-aspect ROI for both
-    passes); ``version=2`` folds the 2×2 sampling mean into both passes
-    (fewer stores, no per-window fold matmul); ``version=1`` keeps the
-    round-2 kernel for comparison.  ``x_major=True`` returns the kernel's
-    native store order as a FLAT [B, R, p·p, C] tile (positions
-    (px, py)-major, no 7×7 split) — callers that are permutation-
-    invariant over the pooled grid (DynamicConv, which folds the
-    permutation into its out-projection weight) skip two HBM relayouts:
-    the y/x transpose AND the sublane re-pad of merging 7·7 → 49
-    (~0.4 ms per decoder stage together)."""
+    fall back to the gather formulation).  ``version=4`` (default; env
+    override DIFFUSIONVID_ROI_FWD_VERSION) runs the narrow branch's x-pass
+    as one small MXU dot per output row against a precomputed per-ROI
+    weight matrix and emits the flat tile row-major; ``version=3`` is the
+    round-3 one-hot VPU x-pass; ``version=2`` folds the 2×2 sampling mean
+    into both passes; ``version=1`` keeps the round-2 kernel for
+    comparison.  ``flat=True`` returns the pooled grid as a FLAT
+    [B, R, p·p, C] tile in **row-major (py, px)** order — the torch
+    flatten order, so order-sensitive consumers (DynamicConv's
+    out-projection) use converted checkpoints unmodified, and the kernel
+    skips two HBM relayouts (the y/x transpose AND the sublane re-pad of
+    merging 7·7 → 49, ~0.4 ms per decoder stage together)."""
+    import os
+
     from .roi_align import multilevel_roi_align
 
+    if version is None:
+        version = int(os.environ.get("DIFFUSIONVID_ROI_FWD_VERSION", "4"))
     p, sr = output_size, sampling_ratio
     s = p * sr
     b, r = rois.shape[:2]
@@ -336,8 +462,8 @@ def multilevel_roi_align_mxu(features: Sequence, rois,
     if len(features) != 3 or r % roi_block != 0:
         out = multilevel_roi_align(features, rois, spatial_scales,
                                    output_size, sampling_ratio, aligned)
-        if x_major:
-            return out.transpose(0, 1, 3, 2, 4).reshape(b, r, p * p, c)
+        if flat:
+            return out.reshape(b, r, p * p, c)
         return out
 
     min_level = int(round(-math.log2(spatial_scales[0])))
@@ -371,6 +497,56 @@ def multilevel_roi_align_mxu(features: Sequence, rois,
     shapes = [(f.shape[1], f.shape[2]) for f in features]
 
     grid = (b, r // roi_block)
+    if version == 4:
+        features = [jnp.pad(f, ((0, 0), (0, 0), (0, _WIN), (0, 0)))
+                    for f in features]
+        pshapes = [(f.shape[1], f.shape[2]) for f in features]
+        pad_wl = max(w for _, w in pshapes) + 32
+        xs = (jnp.min(x0, axis=-1) // 8) * 8                 # [B, R]
+        wide = (jnp.max(x0, axis=-1) - xs) > (_WIN - 2)
+        br = level * 2 + wide.astype(jnp.int32)
+        scal = jnp.concatenate(
+            [y0, x0, br[..., None], xs[..., None]], axis=-1)  # [B, R, 2s+2]
+        # per-ROI x weight matrix for the MXU x-pass: one-hot band weights
+        # at window-relative offsets, sr sample columns folded per output
+        # column, ×1/sr² — [B, R, p, _WIN] fp32 (≈3 MB per 8-frame call)
+        d = (x0 - xs[..., None])[..., None]                  # [B, R, s, 1]
+        lanes = jnp.arange(_WIN)
+        oh = ((d == lanes) * wx0[..., None]
+              + (d + 1 == lanes) * wx1[..., None])           # [B, R, s, _WIN]
+        wxm = oh.reshape(b, r, p, sr, _WIN).sum(3) / (sr * sr)
+        out = pl.pallas_call(
+            functools.partial(_kernel_v4, shapes, rb=roi_block, s=s, p=p,
+                              sr=sr, pad_wl=pad_wl),
+            out_shape=jax.ShapeDtypeStruct((b, r, p * p, c),
+                                           features[0].dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, *pshapes[0], c), lambda i, j: (i, 0, 0, 0)),
+                pl.BlockSpec((1, *pshapes[1], c), lambda i, j: (i, 0, 0, 0)),
+                pl.BlockSpec((1, *pshapes[2], c), lambda i, j: (i, 0, 0, 0)),
+                pl.BlockSpec((1, r, 2 * s + 2), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, r, s, 2), lambda i, j: (i, 0, 0, 0)),
+                pl.BlockSpec((1, r, p, _WIN), lambda i, j: (i, 0, 0, 0)),
+                pl.BlockSpec((1, r, s, 2), lambda i, j: (i, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, roi_block, p * p, c),
+                                   lambda i, j: (i, j, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((p, _WIN, c), jnp.float32),
+                pltpu.VMEM((p, pad_wl, c), jnp.float32),
+                pltpu.VMEM((p * p, c), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(features[0], features[1], features[2], scal, wy, wxm, wx)
+        if flat:
+            return out                     # row-major (py, px) flat tile
+        return out.reshape(b, r, p, p, c)  # row-major == y-major 5D
+
     if version == 3:
         # W-pad so any 8-aligned _WIN window starting ≤ Wl-2 is in bounds;
         # the pad columns only meet zero x-weights (outside the bands).
@@ -411,11 +587,11 @@ def multilevel_roi_align_mxu(features: Sequence, rois,
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
         )(features[0], features[1], features[2], scal, wy, wx)
-        if x_major:
-            # flat [B, R, 49, C], positions (px, py)-major — the kernel's
-            # contiguous store order; splitting 49 back into [7, 7] would
-            # re-pad sublanes (a relayout the flat consumer never needs)
-            return out
+        if flat:
+            # v3 stores (px, py)-major; the flat contract is row-major —
+            # permute positions in XLA (v4 emits row-major natively)
+            perm = (jnp.arange(p * p) % p) * p + jnp.arange(p * p) // p
+            return out[:, :, perm, :]
         return (out.reshape(b, r, p, p, c).transpose(0, 1, 3, 2, 4))
 
     pad_wl = max(w for _, w in shapes) + 32
@@ -449,10 +625,11 @@ def multilevel_roi_align_mxu(features: Sequence, rois,
         ),
     )(features[0], features[1], features[2], level[..., None], y0, x0, wy, wx)
 
-    # kernel emits x-major [.., j7, i7, C]: transpose the tiny 7x7 pair
-    if x_major:
-        return out.reshape(b, r, p * p, c)
-    return out.transpose(0, 1, 3, 2, 4)
+    # v1/v2 kernels emit x-major [.., j7, i7, C]: transpose the tiny pair
+    out = out.transpose(0, 1, 3, 2, 4)
+    if flat:
+        return out.reshape(b, r, p * p, c)    # row-major flatten
+    return out
 
 
 def _bwd_kernel(f_hw, b_idx_unused, g_ref, scal_ref, wy_ref, wx_ref, o_ref,
@@ -531,19 +708,23 @@ def multilevel_roi_align_bwd_mxu(g_flat, rois, feature_shapes,
                                  canonical_box_size: float = 224.0,
                                  canonical_level: int = 4,
                                  out_dtype=jnp.float32):
-    """Feature gradients of ``multilevel_roi_align`` (x-major flat output
-    layout) via the banded transpose kernel — one pallas_call per FPN
-    level (keeps each level's fp32 dF VMEM-resident; grid (B, ROI-blocks)
+    """Feature gradients of ``multilevel_roi_align`` (flat output layout)
+    via the banded transpose kernel — one pallas_call per FPN level
+    (keeps each level's fp32 dF VMEM-resident; grid (B, ROI-blocks)
     with the dF block revisited and accumulated across ROI blocks).
 
-    g_flat [B, R, p·p, C] (px, py)-major cotangent → list of per-level
-    dF [B, Hl, Wl, C] in ``out_dtype``.  Box gradients are zero, like
-    the reference CUDA backward (ROIAlign_cuda.cu backward: atomicAdd
-    into the feature grad only)."""
+    g_flat [B, R, p·p, C] **row-major (py, px)** cotangent (the v4 flat
+    contract) → list of per-level dF [B, Hl, Wl, C] in ``out_dtype``.
+    The kernel's proven addressing is px-major, so the cotangent is
+    permuted once in XLA first (one [B·R, 49, C] relayout).  Box
+    gradients are zero, like the reference CUDA backward
+    (ROIAlign_cuda.cu backward: atomicAdd into the feature grad only)."""
     p, sr = output_size, sampling_ratio
     s = p * sr
     b, r = rois.shape[:2]
     c = g_flat.shape[-1]
+    perm = (jnp.arange(p * p) % p) * p + jnp.arange(p * p) // p
+    g_flat = g_flat[:, :, perm, :]     # row-major → px-major for the kernel
 
     min_level = int(round(-math.log2(spatial_scales[0])))
     level = fpn_level_assignment(rois, len(feature_shapes), min_level,

@@ -27,7 +27,7 @@ def test_band_params_interior_and_border():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("version", [1, 2, 3])
+@pytest.mark.parametrize("version", [1, 2, 3, 4])
 def test_kernel_matches_gather_interpreted(version):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -50,7 +50,7 @@ def test_kernel_matches_gather_interpreted(version):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("version", [2, 3])
+@pytest.mark.parametrize("version", [2, 3, 4])
 def test_kernel_windowed_ypass_matches_gather_interpreted(version):
     """Maps wider than the x-window (W3=96 > 64) exercise the narrow
     window branches; wide-aspect boxes take the full-row fallback."""
@@ -83,10 +83,11 @@ def test_kernel_windowed_ypass_matches_gather_interpreted(version):
 
 
 @pytest.mark.slow
-def test_kernel_x_major_flat_matches_gather_interpreted():
-    """x_major=True returns the kernel's native FLAT [B, R, 49, C] tile
-    with positions (px, py)-major — must equal the y-major gather result
-    transposed and flattened."""
+@pytest.mark.parametrize("version", [3, 4])
+def test_kernel_flat_matches_gather_interpreted(version):
+    """flat=True returns a FLAT [B, R, 49, C] tile in row-major (py, px)
+    order — the torch flatten order — for every kernel version (v4 emits
+    it natively; v3 permutes its px-major store order in XLA)."""
     from jax.experimental.pallas import tpu as pltpu
 
     rng = np.random.RandomState(2)
@@ -100,10 +101,10 @@ def test_kernel_x_major_flat_matches_gather_interpreted():
     boxes = jnp.asarray(boxes)
 
     ref = multilevel_roi_align(feats, boxes, scales)      # [B, R, 7, 7, C]
-    ref_flat = np.asarray(ref).transpose(0, 1, 3, 2, 4).reshape(f, p_, 49, d)
+    ref_flat = np.asarray(ref).reshape(f, p_, 49, d)      # row-major
     with pltpu.force_tpu_interpret_mode():
         got = multilevel_roi_align_mxu(feats, boxes, scales, roi_block=25,
-                                       x_major=True)
+                                       flat=True, version=version)
     assert got.shape == (f, p_, 49, d)
     np.testing.assert_allclose(np.asarray(got), ref_flat,
                                atol=2e-4, rtol=1e-3)
@@ -112,8 +113,8 @@ def test_kernel_x_major_flat_matches_gather_interpreted():
 @pytest.mark.slow
 def test_bwd_kernel_matches_gather_vjp_interpreted():
     """The banded-transpose backward kernel must produce the same feature
-    gradients as the gather formulation's autodiff transpose, for an
-    x-major flat cotangent over mixed-level, border-crossing ROIs."""
+    gradients as the gather formulation's autodiff transpose, for a
+    row-major flat cotangent over mixed-level, border-crossing ROIs."""
     import jax
     from jax.experimental.pallas import tpu as pltpu
     from diffusionvid_tpu.ops.roi_align_pallas import (
@@ -131,7 +132,8 @@ def test_bwd_kernel_matches_gather_vjp_interpreted():
     g = jnp.asarray(rng.randn(f, p_, 49, d).astype(np.float32))
 
     # reference: vjp of the gather formulation, cotangent in y-major 5D
-    g5 = g.reshape(f, p_, 7, 7, d).transpose(0, 1, 3, 2, 4)
+    # (the flat contract is row-major, so the reshape alone is the map)
+    g5 = g.reshape(f, p_, 7, 7, d)
     _, vjp = jax.vjp(
         lambda fs: multilevel_roi_align(list(fs), boxes, scales), feats)
     (ref,) = vjp(g5)
@@ -148,7 +150,7 @@ def test_bwd_kernel_matches_gather_vjp_interpreted():
 
 @pytest.mark.slow
 def test_custom_vjp_kernel_backward_wiring(monkeypatch):
-    """The x-major backward routes through the banded kernel by default
+    """The flat backward routes through the banded kernel by default
     (promoted after the round-3 real-chip adjudication: 184.8 vs 238.6
     ms/step); gradients must match the gather-transpose route
     (DIFFUSIONVID_ROI_BWD_KERNEL=0 kill switch)."""

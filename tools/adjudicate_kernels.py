@@ -111,13 +111,40 @@ def adjudicate_roi_bwd():
     os.environ.pop("DIFFUSIONVID_ROI_BWD_KERNEL", None)
 
 
+def adjudicate_roi_fwd():
+    """DIFFUSIONVID_ROI_FWD_VERSION = 3 | 4: the round-3 one-hot VPU
+    x-pass vs the round-4 MXU-dot x-pass + native row-major flat store
+    (ops/roi_align_pallas.py).  Read at trace time in
+    multilevel_roi_align_mxu, so a fresh StreamingDetector retraces."""
+    model, variables, whwh, frames = bench.build(101, "resnet",
+                                                 bench.INFER_BATCH)
+    for mode in ("3", "4"):
+        os.environ["DIFFUSIONVID_ROI_FWD_VERSION"] = mode
+        jax.clear_caches()
+        t0 = time.perf_counter()
+        det, state = bench.make_detector(model, variables,
+                                         bench.INFER_BATCH, 1)
+        try:
+            fps = bench.stream_fps(det, state, frames, whwh,
+                                   bench.INFER_BATCH, chunks=30)
+        except Exception as e:
+            emit("roi_fwd_version", mode, -1.0, "frames/sec/chip",
+                 {"error": repr(e)[:200]})
+            continue
+        emit("roi_fwd_version", mode, fps, "frames/sec/chip",
+             {"compile_s": round(time.perf_counter() - t0, 1)})
+    os.environ.pop("DIFFUSIONVID_ROI_FWD_VERSION", None)
+
+
 def main():
     bench._probe_device()
-    which = set(sys.argv[1:]) or {"swin", "roi"}
+    which = set(sys.argv[1:]) or {"swin", "roi", "roifwd"}
     if "swin" in which:
         adjudicate_swin()
     if "roi" in which:
         adjudicate_roi_bwd()
+    if "roifwd" in which:
+        adjudicate_roi_fwd()
 
 
 if __name__ == "__main__":

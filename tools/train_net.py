@@ -208,26 +208,40 @@ def main():
     train_ds = ConcatDataset(datasets) if len(datasets) > 1 else datasets[0]
     group_ids = aspect_ratio_group_ids(train_ds)
     batch_iter = grouped_batches(group_ids, n_dp, seed=0)
-    sample_rng = np.random.RandomState(1)   # used by the prefetch thread
-    reuse_rng = np.random.RandomState(2)    # main thread (batch reuse)
 
-    def build_sample(ds, i):
+    can_reuse = is_diffusion or (spec is not None and spec.num_global > 0)
+    reuse_steps = max(1, int(sol.BATCH_REUSE_STEPS)) if can_reuse else 1
+
+    # Resume determinism: every random draw is derived from the ITERATION
+    # index, not from process-lifetime RNG state, so a run resumed from a
+    # checkpoint at iteration k consumes exactly the data (and step RNG)
+    # the uninterrupted run would have at k — bit-exact continuation
+    # (pinned by tests/test_resume_bitexact.py).  Batches are (re)loaded
+    # at iterations ≡ 0 (mod BATCH_REUSE_STEPS); fast-forward the cheap
+    # index iterator past the ones a resumed run already consumed.
+    for _ in range((start_iter + reuse_steps - 1) // reuse_steps):
+        next(batch_iter)
+
+    def build_sample(ds, i, srng):
         if is_diffusion:
             if isinstance(ds, ConcatDataset):
-                return ds.sample(i, sample_rng, sample_cfg)
-            return build_train_sample(ds, i, sample_rng, sample_cfg)
+                return ds.sample(i, srng, sample_cfg)
+            return build_train_sample(ds, i, srng, sample_cfg)
         if isinstance(ds, ConcatDataset):
             sub, local = ds._locate(i)
-            return build_train_sample_method(sub, local, sample_rng,
+            return build_train_sample_method(sub, local, srng,
                                              sample_cfg, spec)
-        return build_train_sample_method(ds, i, sample_rng, sample_cfg, spec)
+        return build_train_sample_method(ds, i, srng, sample_cfg, spec)
 
     def sample_batches():
         """Host-side sample loading, run ahead of the device by the
         prefetcher (the reference hides this in 16 dataloader workers,
         DATALOADER.NUM_WORKERS)."""
+        it = start_iter
         while True:
-            yield [build_sample(train_ds, i) for i in next(batch_iter)]
+            srng = np.random.RandomState((1000003 * it + 12345) % (2**31 - 1))
+            yield [build_sample(train_ds, i, srng) for i in next(batch_iter)]
+            it = (it // reuse_steps + 1) * reuse_steps
 
     batches = sample_batches()
     if not args.no_prefetch:
@@ -235,16 +249,14 @@ def main():
 
     meters = MetricLogger()
     writer = MetricsWriter(output_dir, resume_step=start_iter if args.resume else None)
-    rng = jax.random.PRNGKey(3)
+    base_rng = jax.random.PRNGKey(3)
     t_last = time.perf_counter()
 
-    can_reuse = is_diffusion or (spec is not None and spec.num_global > 0)
     from diffusionvid_tpu.utils.profiling import StepProfiler
     val_failures = 0
     prof = StepProfiler(args.profile_dir, start=start_iter + 10,
                         stop=start_iter + 15)
 
-    reuse_steps = max(1, int(sol.BATCH_REUSE_STEPS)) if can_reuse else 1
     samples = None
     for it in range(start_iter, sol.MAX_ITER):
         prof.step(it)
@@ -254,8 +266,9 @@ def main():
             # batch reuse (engine/trainer.py:107-124): swap the current
             # frame with a random global ref and retrain on the same
             # loaded batch — another gradient step with zero host IO.
-            # Own RNG: sample_rng lives in the prefetch producer thread
-            # (np.random.RandomState is not thread-safe)
+            # Iteration-derived RNG (resume determinism; also keeps the
+            # prefetch thread's draws independent of this thread)
+            reuse_rng = np.random.RandomState((7654321 + it) % (2**31 - 1))
             first_g = 1 if is_diffusion else 1 + spec.num_local + spec.num_mem
             for smp in samples:
                 j = reuse_rng.randint(first_g, smp["images"].shape[0])
@@ -268,7 +281,7 @@ def main():
             gt_valid=jnp.asarray(np.stack([s["gt_valid"] for s in samples])),
             whwh=jnp.asarray(np.stack([s["whwh"] for s in samples])))
         batch = shard_batch_pytree(mesh, batch)
-        rng, r = jax.random.split(rng)
+        r = jax.random.fold_in(base_rng, it)   # iteration-derived (resume)
         state, metrics = step_fn(state, batch, r)
 
         if (it + 1) % 20 == 0:

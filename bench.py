@@ -209,6 +209,33 @@ def bench_e2e(det, whwh):
     state, dets = det.process_chunk(state, preprocess(first), jwhwh)
     _ = np.asarray(dets.scores)
 
+    # ---- host/transfer bounds (the e2e ceiling on THIS host+tunnel) ----
+    # pure decode: JPEG read + resize + I420 pack, single thread (the
+    # host has one CPU, so threads add no decode throughput)
+    t0 = time.perf_counter()
+    n_probe = 24
+    for i in range(n_probe):
+        load(i)
+    decode_fps = n_probe / (time.perf_counter() - t0)
+    emit("diffusionvid_r101_x1_e2e_decode_bound", decode_fps,
+         "frames/sec(host)", REFERENCE_FPS)
+    # pure H2D: ship one chunk repeatedly (tunnel rate varies by orders
+    # of magnitude between sessions — this pins today's rate next to the
+    # e2e line it explains)
+    chunk = np.stack([load(0)] * INFER_BATCH)
+    for _ in range(2):
+        jax.block_until_ready(jax.device_put(chunk))
+    t0 = time.perf_counter()
+    reps = 8
+    for _ in range(reps):
+        jax.block_until_ready(jax.device_put(chunk))
+    dt = (time.perf_counter() - t0) / reps
+    h2d_fps = INFER_BATCH / dt
+    emit("diffusionvid_r101_x1_e2e_h2d_bound", h2d_fps,
+         "frames/sec(transfer)", REFERENCE_FPS)
+    emit("diffusionvid_r101_x1_e2e_h2d_rate",
+         chunk.nbytes / dt / 1e6, "MB/s", 0.0)
+
     start = time.perf_counter()
     for frames in PrefetchIterator(chunks(), depth=2):
         state, dets = det.process_chunk(state, preprocess(frames), jwhwh)
@@ -216,6 +243,13 @@ def bench_e2e(det, whwh):
     fps = n_frames / (time.perf_counter() - start)
     emit("diffusionvid_r101_x1_e2e_with_io", fps, "frames/sec/chip",
          REFERENCE_FPS)
+    # decode and H2D share neither resource (CPU vs tunnel), so the
+    # pipeline ceiling is the slower of the two; the ratio is the honest
+    # "how much of this host's ceiling does the pipeline reach" number
+    # (VERDICT r3 #5: done = ≥ 0.8)
+    bound = min(decode_fps, h2d_fps)
+    emit("diffusionvid_r101_x1_e2e_vs_host_bound", fps / bound,
+         "ratio", 0.0)
 
 
 def bench_adjudicate(r101_model, r101_variables, swin_built):

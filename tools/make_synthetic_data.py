@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--videos", type=int, default=4)
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--size", type=int, nargs=2, default=(160, 240))
+    ap.add_argument("--classes", type=int, default=30,
+                    help="cycle classes mod this — small values give "
+                         "several train videos per class with different "
+                         "geometry, so color is the only stable class "
+                         "cue and classification must generalize")
     args = ap.parse_args()
 
     h, w = args.size
@@ -58,12 +63,21 @@ def main():
         vdir = f"{split}/synth_{v:04d}"
         os.makedirs(os.path.join(img_root, vdir), exist_ok=True)
         os.makedirs(os.path.join(anno_root, vdir), exist_ok=True)
-        cls = rng.randint(1, 31)
+        # adjacent (train, val) video pairs share a class so the held-out
+        # videos are classifiable at all — random classes left most val
+        # classes unseen in training, capping any learnable AP
+        cls = (v // 2) % args.classes + 1
         wnid = VID_WNIDS[cls]
         x, y = rng.randint(10, 60), rng.randint(10, 50)
         dx, dy = rng.randint(2, 6), rng.randint(1, 4)
         bw, bh = rng.randint(30, 60), rng.randint(25, 50)
-        color = tuple(int(c) for c in rng.randint(60, 255, 3))
+        # class-keyed color: the class must be inferable from appearance
+        # for held-out videos, or classification can never generalize
+        # (with per-video random colors the label is visual noise).
+        # Stride-7 hue wheel keeps adjacent class ids far apart in hue.
+        import colorsys
+        rr, gg, bb = colorsys.hsv_to_rgb((cls * 7 % 30) / 30.0, 0.85, 0.9)
+        color = (int(bb * 255), int(gg * 255), int(rr * 255))   # cv2 BGR
         for f in range(args.frames):
             img = np.full((h, w, 3), 25, np.uint8)
             xx = min(x + dx * f, w - bw - 1)

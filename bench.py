@@ -2,16 +2,23 @@
 
 Emits one JSON line per metric (the driver parses JSON lines):
 
-  1. swinb_x1  — Swin-B backbone, DDIM ×1, INFER_BATCH=4 (vid_Swin_B config)
-  2. r101_x4   — R-101, DDIM ×4 ensemble (SAMPLE_STEP=4)
-  3. r101_train_step — full-resolution flagship train step (1 cur + 4 global)
-  4. r101_x1_e2e — IO-included streaming fps (JPEG decode + resize + pad +
+  1. r101_x1   — the headline: device streaming fps/chip (also re-emitted
+     LAST so the driver's final-line parse sees it)
+  2. r101_train_step — full-resolution flagship train step (1 cur + 4 global)
+  3. r101_x4   — R-101, DDIM ×4 ensemble (SAMPLE_STEP=4)
+  4. swinb_x1  — Swin-B backbone, DDIM ×1, INFER_BATCH=4 (vid_Swin_B config)
+  5. r101_x1_e2e — IO-included streaming fps (JPEG decode + resize + pad +
      transfer overlapped with device compute via the prefetcher)
-  5. r101_x1   — the headline: device streaming fps/chip (printed LAST)
 
-plus, when the full suite runs, opt-in-kernel head-to-head lines
-(``*_kernel_v1``/``*_kernel_v2``/``*_roibwd`` — see bench_adjudicate)
+plus, when the full suite runs, kernel head-to-head lines
+(``*_kernel_off``/``*_kernel_v1``/``*_roibwd`` — see bench_adjudicate)
 emitted after every default-path metric and before the final headline.
+
+Every stage is bounded by a wall-clock deadline
+(``DIFFUSIONVID_BENCH_DEADLINE_S``, default 1500 s): a stage that does
+not fit the remaining budget prints ``# skipped (deadline)`` instead of
+being killed mid-compile, and ``# progress:`` lines mark stage
+boundaries so a hard external timeout still leaves evidence.
 
 ``vs_baseline`` is the ratio to the commonly-cited single-GPU fp16
 throughput class for each point (the reference repo publishes no speed
@@ -40,11 +47,51 @@ REFERENCE_TRAIN_SEC = 1.0     # s/iter class (1 GPU, batch 1+4 frames)
 H, W = 608, 1024
 INFER_BATCH = 8
 
+# ---- deadline budget (VERDICT r4 weak #1: a driver timeout mid-compile
+# left one metric line and no trace of how far the bench got).  Every
+# stage is guarded: it runs only if the time remaining covers its
+# estimated cost, else prints an explicit "# skipped (deadline)" line
+# and falls through to cheaper stages.  Estimates are cache-warm costs
+# (trace + cached-compile load + run on this 1-CPU host); the adaptive
+# scale tracks how much slower reality is (e.g. a cold compile cache)
+# and inflates the remaining estimates accordingly.
+T0 = time.perf_counter()
+DEADLINE_S = float(os.environ.get("DIFFUSIONVID_BENCH_DEADLINE_S", "1500"))
+_scale = [1.0]
+
+
+def elapsed():
+    return time.perf_counter() - T0
+
+
+def progress(stage):
+    print(f"# progress: {stage} t={elapsed():.0f}s", flush=True)
+
+
+def stage_fits(name, est_s, reserve_s=60.0):
+    """True if `name` (estimated warm cost est_s, scaled by the observed
+    slowdown) fits before the deadline, keeping reserve_s for the final
+    headline re-emit."""
+    left = DEADLINE_S - elapsed() - reserve_s
+    need = est_s * _scale[0]
+    if left >= need:
+        progress(f"{name} start (est {need:.0f}s, left {left:.0f}s)")
+        return True
+    print(f"# skipped (deadline): {name} est={need:.0f}s left={left:.0f}s",
+          flush=True)
+    return False
+
+
+def stage_done(name, est_s, start):
+    took = time.perf_counter() - start
+    _scale[0] = max(_scale[0], min(took / max(est_s, 1.0), 20.0))
+    progress(f"{name} done ({took:.0f}s)")
+
 
 def emit(metric, value, unit, baseline):
     print(json.dumps({
         "metric": metric, "value": round(value, 2), "unit": unit,
-        "vs_baseline": round(value / baseline, 3),
+        "vs_baseline": round(value / baseline, 3) if baseline else 0.0,
     }), flush=True)
 
 
@@ -279,7 +326,12 @@ def bench_adjudicate(r101_model, r101_variables, swin_built):
     """
     if swin_built is not None:
         model, variables, whwh, frames = swin_built
-        for mode in ("v1", "v2"):
+        # v2 is the promoted default — the default-path swinb line above
+        # measures it; these lines keep the off/v1 regression references.
+        for mode in ("off", "v1"):
+            if not stage_fits(f"adjudicate:swin_{mode}", 240):
+                continue
+            t0 = time.perf_counter()
             os.environ["DIFFUSIONVID_SWIN_KERNEL"] = mode
             try:
                 det, state = make_detector(model, variables, 4, 1)
@@ -289,31 +341,54 @@ def bench_adjudicate(r101_model, r101_variables, swin_built):
             except Exception as e:
                 print(f"# swinb kernel {mode} skipped: {e!r}"[:300],
                       flush=True)
-        os.environ.pop("DIFFUSIONVID_SWIN_KERNEL", None)
-    os.environ["DIFFUSIONVID_ROI_BWD_KERNEL"] = "0"
-    try:
-        bench_train(r101_model, r101_variables,
-                    metric="diffusionvid_r101_train_step_roibwd_off")
-    except Exception as e:
-        print(f"# roi-bwd-off train variant skipped: {e!r}"[:300],
-              flush=True)
-    os.environ.pop("DIFFUSIONVID_ROI_BWD_KERNEL", None)
+            os.environ.pop("DIFFUSIONVID_SWIN_KERNEL", None)
+            stage_done(f"adjudicate:swin_{mode}", 240, t0)
+        # Swin-B TRAIN-step head-to-head (VERDICT r4 next #7): the v2
+        # kernel's custom VJP vs the einsum path, measured on-chip.
+        for mode, metric in (("v2", "diffusionvid_swinb_train_step"),
+                             ("off",
+                              "diffusionvid_swinb_train_step_kernel_off")):
+            if not stage_fits(f"adjudicate:swin_train_{mode}", 300):
+                continue
+            t0 = time.perf_counter()
+            os.environ["DIFFUSIONVID_SWIN_KERNEL"] = mode
+            try:
+                bench_train(model, variables, metric=metric)
+            except Exception as e:
+                print(f"# swinb train {mode} skipped: {e!r}"[:300],
+                      flush=True)
+            os.environ.pop("DIFFUSIONVID_SWIN_KERNEL", None)
+            stage_done(f"adjudicate:swin_train_{mode}", 300, t0)
+    if stage_fits("adjudicate:roibwd_off", 180):
+        t0 = time.perf_counter()
+        os.environ["DIFFUSIONVID_ROI_BWD_KERNEL"] = "0"
+        try:
+            bench_train(r101_model, r101_variables,
+                        metric="diffusionvid_r101_train_step_roibwd_off")
+        except Exception as e:
+            print(f"# roi-bwd-off train variant skipped: {e!r}"[:300],
+                  flush=True)
+        os.environ.pop("DIFFUSIONVID_ROI_BWD_KERNEL", None)
+        stage_done("adjudicate:roibwd_off", 180, t0)
     # ROIAlign forward v3 (round-3 one-hot VPU x-pass) vs the default v4
     # (MXU-dot x-pass, native row-major flat store): the default-path
     # headline above measures v4; this line keeps the v3 regression
     # reference in every BENCH_rN.
-    os.environ["DIFFUSIONVID_ROI_FWD_VERSION"] = "3"
-    try:
-        import jax as _jax
-        _jax.clear_caches()
-        model, variables, whwh, frames = build(101, "resnet", INFER_BATCH)
-        det, state = make_detector(model, variables, INFER_BATCH, 1)
-        fps = stream_fps(det, state, frames, whwh, INFER_BATCH, chunks=30)
-        emit("diffusionvid_r101_x1_stream_inference_roifwd_v3", fps,
-             "frames/sec/chip", REFERENCE_FPS)
-    except Exception as e:
-        print(f"# roi-fwd-v3 variant skipped: {e!r}"[:300], flush=True)
-    os.environ.pop("DIFFUSIONVID_ROI_FWD_VERSION", None)
+    if stage_fits("adjudicate:roifwd_v3", 240):
+        t0 = time.perf_counter()
+        os.environ["DIFFUSIONVID_ROI_FWD_VERSION"] = "3"
+        try:
+            import jax as _jax
+            _jax.clear_caches()
+            model, variables, whwh, frames = build(101, "resnet", INFER_BATCH)
+            det, state = make_detector(model, variables, INFER_BATCH, 1)
+            fps = stream_fps(det, state, frames, whwh, INFER_BATCH, chunks=30)
+            emit("diffusionvid_r101_x1_stream_inference_roifwd_v3", fps,
+                 "frames/sec/chip", REFERENCE_FPS)
+        except Exception as e:
+            print(f"# roi-fwd-v3 variant skipped: {e!r}"[:300], flush=True)
+        os.environ.pop("DIFFUSIONVID_ROI_FWD_VERSION", None)
+        stage_done("adjudicate:roifwd_v3", 240, t0)
 
 
 def _probe_device(timeout_s=600):
@@ -341,7 +416,9 @@ def _probe_device(timeout_s=600):
 
 
 def main():
+    progress("start")
     _probe_device()
+    progress("device up")
     # DIFFUSIONVID_BENCH_ONLY=swinb (comma-set of x1,train,x4,e2e,swinb)
     # runs a subset — used to warm/adjudicate one compile at a time on
     # this 1-CPU host; the driver runs with it unset → full suite.
@@ -357,33 +434,48 @@ def main():
     # Order by priority: the headline runs FIRST (so a driver timeout at
     # any later point still leaves a valid tail JSON line) and is
     # re-emitted LAST (cheap — already compiled) so the final line is the
-    # headline when everything completes.
+    # headline when everything completes.  The five default metrics
+    # (x1, train, x4, swinb, e2e) are emitted before any adjudication
+    # head-to-head; each stage is deadline-guarded (see stage_fits).
+    t0 = time.perf_counter()
+    progress("x1 start")
     model, variables, whwh, frames = build(101, "resnet", INFER_BATCH)
     det = bench_r101(model, variables, whwh, frames, 1,
                      "diffusionvid_r101_x1_stream_inference", REFERENCE_FPS,
                      chunks=40)
-    if want("train"):
+    stage_done("x1", 240, t0)
+    if want("train") and stage_fits("train", 150):
+        t0 = time.perf_counter()
         bench_train(model, variables)
-    if want("x4"):
+        stage_done("train", 150, t0)
+    if want("x4") and stage_fits("x4", 120):
+        t0 = time.perf_counter()
         bench_r101(model, variables, whwh, frames, 4,
                    "diffusionvid_r101_x4_stream_inference", REFERENCE_FPS_X4,
                    chunks=10)
-    if want("e2e"):
-        bench_e2e(det, whwh)
+        stage_done("x4", 120, t0)
     swin_built = None
-    if want("swinb"):
+    if want("swinb") and stage_fits("swinb", 300):
+        t0 = time.perf_counter()
         try:
             swin_built = bench_swinb()  # biggest compile; failures
         except Exception as e:          # shouldn't mask the rest
             print(f"# swinb bench skipped: {e}", flush=True)
+        stage_done("swinb", 300, t0)
+    if want("e2e") and stage_fits("e2e", 150):
+        t0 = time.perf_counter()
+        bench_e2e(det, whwh)
+        stage_done("e2e", 150, t0)
     if sel is None and not os.environ.get("DIFFUSIONVID_BENCH_NO_ADJUDICATE"):
         # opt-in-kernel head-to-heads, lowest priority: only after every
         # default-path metric has been emitted (a timeout here costs
         # nothing but the adjudication data)
         bench_adjudicate(model, variables, swin_built)
+    progress("final headline re-emit")
     bench_r101(model, variables, whwh, frames, 1,
                "diffusionvid_r101_x1_stream_inference", REFERENCE_FPS,
                chunks=40)
+    progress("all done")
 
 
 if __name__ == "__main__":

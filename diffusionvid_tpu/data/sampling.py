@@ -33,6 +33,12 @@ from .vid_dataset import FrameAnno, VIDDataset, pad_groundtruth
 @dataclass
 class SampleConfig:
     num_global: int = 4
+    # local refs for ATTENTION.ENABLE training (vid_mega.py ref_l; the
+    # decoder's conditioned stage trains on [cur, locals…] only,
+    # box_head.py:325-346) — 0 on the flagship path
+    num_local: int = 0
+    local_min_offset: int = -12
+    local_max_offset: int = 12
     max_gt: int = 64
     min_size: int = 600            # int or tuple → random scale jitter
     max_size: int = 1000
@@ -54,7 +60,10 @@ def build_train_sample(ds: VIDDataset, idx: int, rng: np.random.RandomState,
     (B = 1 + num_global global refs, each with its own GT — the
     VIDMEGADataset diffusion path, vid_mega.py:76-103).  Thin spec over the
     general per-method builder."""
-    spec = MethodSampleSpec("diffusion", num_global=cfg.num_global)
+    spec = MethodSampleSpec("diffusion", num_global=cfg.num_global,
+                            num_local=cfg.num_local,
+                            min_offset=cfg.local_min_offset,
+                            max_offset=cfg.local_max_offset)
     return build_train_sample_method(ds, idx, rng, cfg, spec)
 
 

@@ -50,7 +50,9 @@ def run_inference_video_arch(model, variables, dataset, sample_cfg: SampleConfig
                              bbox_aug_scales: tuple = (),
                              bbox_aug_max_size: int = 4000,
                              bbox_aug_scale_h_flip: bool = False,
-                             shuffled_cur: bool = False):
+                             shuffled_cur: bool = False,
+                             all_frame_interval: int = 25,
+                             key_frame_location: int = 12):
     """Evaluate a classic/MEGA-family model over a VID dataset.
 
     ``use_bbox_aug``: TEST.BBOX_AUG ensembling, supported for the
@@ -121,16 +123,33 @@ def run_inference_video_arch(model, variables, dataset, sample_cfg: SampleConfig
 
         # mega/dafa: prime the global memory from the shuffled init frames
         state = None
+        pstate = None
+        pixel_mode = (method == "mega"
+                      and getattr(model, "pixel_replaces_box", False))
         if method == "mega":
             state = model.init_state()
+            if pixel_mode or getattr(model, "pixel_attend_global", False):
+                pstate = model.init_pixel_state()
+            if getattr(model, "pixel_attend_global", False):
+                # global pixel cache fills FIRST, from the raw maps
+                # (generalized_rcnn_mega.py:451-461); the box-memory loop
+                # below then reads it to enhance the global maps
+                for s in range(0, len(video.global_frames), 4):
+                    g = jnp.asarray(video.global_frames[s: s + 4])
+                    gupd = jitted(
+                        "gpixupd", g.shape,
+                        make=lambda: lambda v, pst, g: model.apply(
+                            v, pst, g,
+                            method=type(model).update_global_pixels))
+                    pstate = gupd(variables, pstate, g)
             for s in range(0, len(video.global_frames), 4):
                 g = jnp.asarray(video.global_frames[s: s + 4])
                 memfeat = jitted(
                     "memfeat", g.shape,
-                    make=lambda: lambda v, g, e: model.apply(
-                        v, g, (e[0], e[1]),
+                    make=lambda: lambda v, g, e, pst: model.apply(
+                        v, g, (e[0], e[1]), pst,
                         method=type(model).memory_features))
-                feats, valid = memfeat(variables, g, hw)
+                feats, valid = memfeat(variables, g, hw, pstate)
                 upd = jitted(
                     "memupd", feats.shape,
                     make=lambda: lambda v, st, f2, va: model.apply(
@@ -181,6 +200,25 @@ def run_inference_video_arch(model, variables, dataset, sample_cfg: SampleConfig
                             make=lambda: lambda v, c, r, e: model.apply(
                                 v, c, r, (e[0], e[1])))
                 dets = fn(variables, cur, refs, hw)
+            elif method == "mega" and pixel_mode:
+                # pixel pipeline REPLACES the box pipeline: frame-selector
+                # refs at offsets ±2^i (generalized_rcnn_mega.py:60-74);
+                # offsets before the video start are masked (the real_idx
+                # filter, :76-77), offsets past the end clamp to the last
+                # frame (the queue's copy-last prefill, :594-596)
+                from ..models.video_archs import local_pixel_frame_offsets
+                offs = local_pixel_frame_offsets(
+                    interval=all_frame_interval,
+                    key_location=key_frame_location)
+                ids = np.clip([f + o for o in offs], 0, n - 1)
+                rvalid = np.asarray([f + o >= 0 for o in offs])
+                refs = jnp.asarray(frames[ids])
+                fn = jitted("mega_pix", refs.shape,
+                            make=lambda: lambda v, c, r, rv, st, pst, e:
+                            model.apply(v, c, r, rv, (e[0], e[1]), st, pst,
+                                        method=type(model).pixel_call))
+                dets, pstate = fn(variables, cur, refs, jnp.asarray(rvalid),
+                                  state, pstate, hw)
             elif method in ("rdn", "mega"):
                 if shuffled_cur:
                     lo, hi = f, f + 1     # local queue = [cur] only

@@ -162,9 +162,14 @@ def make_loss_fn(model: DiffusionDetArch, num_global: int,
         logits, boxes = model.apply({"params": params}, images, noisy_boxes, t,
                                     num_global=num_global, train=True,
                                     rngs={"cfg": r_cfg})
+        # ATTENTION.ENABLE training slices every stage's outputs to the
+        # local frames (box_head.py:429-431) — pair the targets with the
+        # frames the head actually returned (nl == B when local attention
+        # is off, so this is a no-op on the flagship path)
+        nl = logits.shape[1]
         total, losses = set_criterion(
-            logits, boxes, gt_labels, gt_boxes, gt_valid,
-            whwh_b, k, class_weight=class_weight, l1_weight=l1_weight,
+            logits, boxes, gt_labels[:nl], gt_boxes[:nl], gt_valid[:nl],
+            whwh_b[:nl], k, class_weight=class_weight, l1_weight=l1_weight,
             giou_weight=giou_weight)
         return total, losses
 

@@ -78,7 +78,12 @@ def build_detection_model(cfg, dtype=None):
     # from ADVANCED_STAGE / RDN.RATIO · REF_POST_NMS_TOP_N
     attn = cfg.MODEL.VID.ROI_BOX_HEAD.ATTENTION
     ref_post = cfg.MODEL.VID.RPN.REF_POST_NMS_TOP_N
-    attn_kw = dict(relation_stages=attn.STAGE,
+    # local_box_enable = ATTENTION.ENABLE and STAGE > 0
+    # (generalized_rcnn_mega.py:57-58; the extractor builds attention
+    # weights only under ENABLE, roi_box_feature_extractors.py:328):
+    # ENABLE off → zero relation stages, which is also what arms the
+    # pixel path's replacement semantics (video_archs.pixel_replaces_box)
+    attn_kw = dict(relation_stages=attn.STAGE if attn.ENABLE else 0,
                    advanced_stages=attn.ADVANCED_STAGE,
                    advanced_num=int(ref_post * cfg.MODEL.VID.RDN.RATIO),
                    ref_post_nms=ref_post)
@@ -95,6 +100,8 @@ def build_detection_model(cfg, dtype=None):
                         use_stage_mem=mega.MEMORY.ENABLE,
                         mem_frames=mega.MEMORY.SIZE,
                         pixel_attend_local=mega.LOCAL.PIXEL_ATTEND,
+                        pixel_attend_global=mega.GLOBAL.PIXEL_ATTEND,
+                        pixel_mem_size=mega.MEMORY_MANAGEMENT_SIZE_PIXEL_TEST,
                         dtype=dt, **nms_kw, **attn_kw)
     if method == "dafa":
         from .dafa import SparseRCNNDAFA

@@ -529,16 +529,33 @@ class DynamicHead(nn.Module):
         kv_mask = jnp.ones((global_kv.shape[0],), bool)
 
         local_kv = None
+        nl = None
         if self.local_stages > 0:
             # ATTENTION.ENABLE training: the leading (local) frames' top-k
-            # features key the local chain (box_head.py:325-329
-            # local_interval=3).  Unlike the reference we keep the
-            # conditioned stage on ALL frames rather than slicing queries/
-            # losses to the local frames — static shapes under jit.
+            # features key the local chain (box_head.py:325-329,
+            # local_interval=3 — cur + the local refs, which the sampler
+            # places first in the frame stack).
             nl = min(3, k1_feats.shape[0])
             local_kv = (k1_feats[:nl].reshape(-1, self.d_model),)
 
         last_boxes = jax.lax.stop_gradient(inter_boxes[-1])
+        if train and nl is not None:
+            # The reference slices the conditioned stage's queries,
+            # features, and time to the local frames (box_head.py:341-346)
+            # and returns EVERY stage's outputs sliced to them
+            # (:429-431) — losses land on the local frames only.  nl is
+            # static, so the slice is jit-friendly; the criterion slices
+            # its targets to logits.shape[1] (engine/train.py).
+            cond_logits, cond_boxes, _ = self.condition(
+                [f[:nl] for f in features], spatial_scales,
+                last_boxes[:nl], pro_features[:nl], t[:nl],
+                global_kv, kv_mask, train=train, local_kv=local_kv)
+            all_logits = jnp.stack([l[:nl] for l in inter_logits]
+                                   + cond_logits)
+            all_boxes = jnp.stack([x[:nl] for x in inter_boxes]
+                                  + cond_boxes)
+            return all_logits, all_boxes
+
         cond_logits, cond_boxes, _ = self.condition(
             features, spatial_scales, last_boxes, pro_features, t,
             global_kv, kv_mask, train=train, local_kv=local_kv)

@@ -26,30 +26,74 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+import math
+
 from .heads import Linear, MultiheadAttention
 from .relation import RelationAttention
 
 
+def pixel_positional_embedding(height: int, width: int, d_model: int,
+                               dtype=jnp.float32) -> jnp.ndarray:
+    """2D sinusoidal positional embedding for feature-map pixels
+    (``cal_positional_embedding_pixel``,
+    roi_box_feature_extractors.py:257-279): the first half of the
+    channels encodes the x (width) position, the second half the y
+    (height) position, each as interleaved sin/cos.  The reference emits
+    [1, C, H, W]; this returns the same values in NHWC [H, W, C]."""
+    if d_model % 4 != 0:
+        raise ValueError(f"d_model must be divisible by 4, got {d_model}")
+    half = d_model // 2
+    div = jnp.exp(jnp.arange(0, half, 2, dtype=jnp.float32)
+                  * (-math.log(10000.0) / half))            # [half/2]
+    pw = jnp.arange(width, dtype=jnp.float32)[:, None] * div[None]   # [W, half/2]
+    ph = jnp.arange(height, dtype=jnp.float32)[:, None] * div[None]  # [H, half/2]
+    k = div.shape[0]
+    pe = jnp.zeros((height, width, d_model), jnp.float32)
+    pe = pe.at[:, :, 0:half:2].set(
+        jnp.broadcast_to(jnp.sin(pw)[None], (height, width, k)))
+    pe = pe.at[:, :, 1:half:2].set(
+        jnp.broadcast_to(jnp.cos(pw)[None], (height, width, k)))
+    pe = pe.at[:, :, half::2].set(
+        jnp.broadcast_to(jnp.sin(ph)[:, None], (height, width, k)))
+    pe = pe.at[:, :, half + 1::2].set(
+        jnp.broadcast_to(jnp.cos(ph)[:, None], (height, width, k)))
+    return pe.astype(dtype)
+
+
 class PixelMemoryAttention(nn.Module):
     """update_lm_pixel: pixels → grouped relation attention over a pixel
-    memory (no geometry), residual.  Operates on NHWC maps."""
+    memory (no geometry), residual.  Operates on NHWC maps.
+
+    ``groups=8`` matches the reference's ``groups_p``
+    (roi_box_feature_extractors.py:787)."""
 
     feat_dim: int = 1024
-    groups: int = 16
+    groups: int = 8
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats, memory: Optional[jnp.ndarray] = None,
-                 memory_valid: Optional[jnp.ndarray] = None):
-        """feats [H, W, C]; memory [M, C] extra pixel keys (pixels_irr /
-        pixels_last_high) or None (self-attention only).  Returns the
-        enhanced [H, W, C] map."""
+                 memory_valid: Optional[jnp.ndarray] = None,
+                 keys: Optional[jnp.ndarray] = None,
+                 keys_valid: Optional[jnp.ndarray] = None):
+        """feats [H, W, C] query map; ``keys`` [K, C] the base reference
+        pixel set (``feats_ref``; None → self-attention over the query's
+        own pixels, update_lm_pixel's ``feats_ref is None`` default);
+        ``memory`` [M, C] extra pixel keys appended after the base set
+        (pixels_irr / pixels_last_high / external memories).  Returns the
+        enhanced [H, W, C] map (query + attention residual,
+        roi_box_feature_extractors.py:1227)."""
         h, w, c = feats.shape
         px = feats.reshape(-1, c)                       # [H*W, C]
-        keys = px
-        valid = jnp.ones((px.shape[0],), bool)
+        if keys is None:
+            keys = px
+            valid = jnp.ones((px.shape[0],), bool)
+        else:
+            keys = keys.astype(px.dtype)
+            valid = (keys_valid if keys_valid is not None
+                     else jnp.ones((keys.shape[0],), bool))
         if memory is not None:
-            keys = jnp.concatenate([px, memory.astype(px.dtype)], 0)
+            keys = jnp.concatenate([keys, memory.astype(px.dtype)], 0)
             mvalid = (memory_valid if memory_valid is not None
                       else jnp.ones((memory.shape[0],), bool))
             valid = jnp.concatenate([valid, mvalid], 0)

@@ -193,3 +193,35 @@ def test_shuffled_cur_rejects_non_mega():
     with pytest.raises(ValueError, match="SHUFFLED_CUR_TEST"):
         run_inference_video_arch(None, {}, None, None, method="base",
                                  shuffled_cur=True)
+
+
+def test_dynamic_head_local_train_frame_slicing():
+    """ATTENTION.ENABLE training slices the conditioned stage's queries/
+    features/time to the local frames (local_interval=3, box_head.py:
+    341-346) and returns EVERY stage's outputs sliced to them (:429-431)
+    — losses land on the local frames only.  Inference is unsliced."""
+    from diffusionvid_tpu.models.heads import DynamicHead
+    b, n, d = 5, 8, 256
+    feats = [jnp.ones((b, 16, 16, d)), jnp.ones((b, 8, 8, d))]
+    scales = (1 / 8.0, 1 / 16.0)
+    boxes = jnp.tile(jnp.asarray([8.0, 8.0, 64.0, 64.0]), (b, n, 1))
+    t = jnp.asarray([10, 200, 400, 600, 999])
+    rngs = {"params": jax.random.PRNGKey(0), "cfg": jax.random.PRNGKey(1)}
+
+    on = DynamicHead(num_classes=5, num_heads=2, num_heads_local=1,
+                     top_k=(4, 2), local_stages=1, dtype=jnp.float32)
+    p = on.init(rngs, feats, scales, boxes, t, num_global=2, train=True)
+    lg, bx = on.apply(p, feats, scales, boxes, t, num_global=2, train=True,
+                      rngs={"cfg": jax.random.PRNGKey(2)})
+    assert lg.shape[1] == 3 and bx.shape[1] == 3    # sliced to local frames
+    lg_i, bx_i = on.apply(p, feats, scales, boxes, t, num_global=2,
+                          train=False)
+    assert lg_i.shape[1] == b and bx_i.shape[1] == b
+
+    # flagship (local attention off): no slicing at train either
+    off = DynamicHead(num_classes=5, num_heads=2, num_heads_local=1,
+                      top_k=(4, 2), dtype=jnp.float32)
+    p_off = off.init(rngs, feats, scales, boxes, t, num_global=2, train=True)
+    lg_o, _ = off.apply(p_off, feats, scales, boxes, t, num_global=2,
+                        train=True, rngs={"cfg": jax.random.PRNGKey(2)})
+    assert lg_o.shape[1] == b

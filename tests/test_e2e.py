@@ -90,6 +90,44 @@ def test_dp_mesh_train_step(model_and_params):
     assert np.isfinite(float(metrics["total_loss"]))
 
 
+def test_sharded_eval_matches_replicated(model_and_params):
+    """DP-sharded inference must be numerically equivalent to the
+    single-program run (the eval half of SURVEY.md §2.3; this check used
+    to live inside __graft_entry__._dryrun_body — moved here so the
+    driver dryrun pays one compile, not two)."""
+    from diffusionvid_tpu.models.diffusion_det import signal_to_boxes
+    from diffusionvid_tpu.parallel import dp_shardings
+
+    model, params = model_and_params
+    mesh = make_mesh(8)
+    n_frames = 8
+    whwh = jnp.asarray([W, H, W, H], jnp.float32)
+    rng = np.random.RandomState(3)
+    frames = jnp.asarray(rng.uniform(0, 255, (n_frames, H, W, 3)),
+                         jnp.float32)
+    boxes0 = signal_to_boxes(
+        jax.random.normal(jax.random.PRNGKey(9), (n_frames, PROPS, 4)),
+        whwh, 2.0)
+    t999 = jnp.full((n_frames,), 999, jnp.int32)
+
+    def eval_fn(v, fr, bx, t):
+        feats = model.apply(v, fr, method=DiffusionDetArch.extract_features)
+        logits, pboxes, _, _, _ = model.apply(
+            v, feats, bx, t, method=DiffusionDetArch.extract_proposals)
+        return logits[-1], pboxes[-1]
+
+    rep, bsh = dp_shardings(mesh)
+    with mesh:
+        sharded = jax.jit(eval_fn, in_shardings=(rep, bsh, bsh, bsh),
+                          out_shardings=(bsh, bsh))
+        lg_s, bx_s = jax.device_get(
+            sharded({"params": params}, frames, boxes0, t999))
+    lg_r, bx_r = jax.device_get(jax.jit(eval_fn)(
+        {"params": params}, frames, boxes0, t999))
+    assert np.abs(lg_s - lg_r).max() < 1e-3
+    assert np.abs(bx_s - bx_r).max() < 1e-2
+
+
 def test_streaming_inference(model_and_params):
     model, params = model_and_params
     det = StreamingDetector(

@@ -154,39 +154,91 @@ def test_mega_arch_stage_memory(imgs):
 
 
 def test_mega_arch_pixel_attend(imgs):
-    """LOCAL.PIXEL_ATTEND wiring (generalized_rcnn_mega.py:75-130): the
-    current frame's C4 map is enhanced by pixel attention over the local
-    refs before RPN/pooling.  Checks the param subtree appears, the
-    forward stays finite, and the flag actually changes the output."""
+    """LOCAL.PIXEL_ATTEND replacement wiring: the pixel path runs only
+    when local box attention is off — local_box_enable = ATTENTION.ENABLE
+    and STAGE>0, generalized_rcnn_mega.py:57-58, 608 — and then REPLACES
+    the box-relation pipeline: the enhanced map feeds the RPN and the
+    pooled features go straight to the global-memory attention
+    (update_lm) + predictor.  Structure pins: with stages>0 the flag is
+    inert (no pixel params); with stages==0 the pixel+global_lm subtrees
+    exist and the enhancement changes the map."""
     from diffusionvid_tpu.models.video_archs import MEGAArch
     cur, refs = imgs[:1], imgs[1:]
 
+    # mutual exclusion: box relation on → pixel flag inert, no params
+    inert = MEGAArch(depth=50, num_classes=6, memory_size=32,
+                     relation_stages=2, pixel_attend_local=True)
+    assert not inert.pixel_replaces_box
+    v_inert = _mk(inert, cur, refs, (H, W))
+    assert "pixel_attn" not in v_inert["params"]
+
     on = MEGAArch(depth=50, num_classes=6, memory_size=32,
-                  pixel_attend_local=True)
-    v_on = _mk(on, cur, refs, (H, W))
+                  relation_stages=0, pixel_attend_local=True)
+    assert on.pixel_replaces_box
+    v_on = _mk(on, cur, refs, (H, W), on.init_state())
     assert "pixel_attn" in v_on["params"]
+    assert "global_lm" in v_on["params"]
     dets_on = on.apply(v_on, cur, refs, (H, W))
     assert np.isfinite(np.asarray(dets_on.boxes)).all()
 
-    # the enhancement itself is not a no-op on the C4 map (the
-    # postprocessed scores can coincide within allclose tolerance at
-    # random init, so assert at the feature level)
+    # the enhancement itself is not a no-op on the C4 map, and carries
+    # the reference's +ps offset (update_lm_pixel_with_transpose adds ps
+    # to the query before the residual, generalized_rcnn_mega.py:93-96)
     def run(m, c, r):
         feats = m.detector.features(jnp.concatenate([c, r], 0))
-        cf, rf = feats[:1], feats[1:]
-        return cf, m._pixel_enhance(cf, rf)
+        cf = feats[:1]
+        return cf, m._pixel_enhance(cf, feats)
 
     cf, ce = on.apply(v_on, cur, refs, method=run)
     assert ce.shape == cf.shape
     assert not np.allclose(np.asarray(cf), np.asarray(ce))
 
 
+def test_mega_pixel_streaming_call(imgs):
+    """pixel_call carries the PixelState through a key frame: global
+    pixel cache fills from global frames (select_pixel_ref mode='random'
+    update_mem='global'), detections update ext/last_high/irr (mode='box'
+    update_mem='local'), and the memories change the output (output
+    delta)."""
+    from diffusionvid_tpu.models.video_archs import (
+        MEGAArch, local_pixel_frame_offsets)
+    model = MEGAArch(depth=50, num_classes=6, memory_size=32,
+                     relation_stages=0, pixel_attend_local=True,
+                     pixel_attend_global=True, pixel_mem_size=64,
+                     pixel_ext_cap=128)
+    cur, refs = imgs[:1], imgs[1:]
+    state = model.init_state()
+    v = _mk(model, cur, refs, (H, W), state)
+    pstate = model.init_pixel_state()
+    pstate2 = model.apply(v, pstate, imgs,
+                          method=MEGAArch.update_global_pixels)
+    assert int(pstate2.gpix.count) > 0
+    assert np.asarray(pstate2.irr_g_valid).any()
+
+    offs = local_pixel_frame_offsets(interval=9, key_location=4)
+    assert offs == [-4, -2, -1, 0, 1, 2, 4]
+    rvalid = jnp.ones((len(imgs[1:]),), bool)
+    dets, pstate3 = model.apply(v, cur, refs, rvalid[: refs.shape[0]],
+                                (H, W), state, pstate2,
+                                method=MEGAArch.pixel_call)
+    assert np.isfinite(np.asarray(dets.boxes)).all()
+    assert np.asarray(pstate3.irr_valid).any()     # irr refreshed
+
+    # output delta: a filled global pixel cache changes the detections
+    dets0, _ = model.apply(v, cur, refs, rvalid[: refs.shape[0]],
+                           (H, W), state, pstate,
+                           method=MEGAArch.pixel_call)
+    assert not np.allclose(np.asarray(dets.scores), np.asarray(dets0.scores))
+
+
 def test_mega_train_loss_pixel_attend(imgs):
-    """PIXEL_ATTEND also runs in the training path (train_loss_mega →
-    train_loss) and produces finite, differentiable losses."""
+    """The train-side pixel path (generalized_rcnn_mega.py:352-363:
+    sparse=0.25 over ALL local maps incl. cur, pixels_irr keys) replaces
+    the relation refs and produces finite losses."""
     from diffusionvid_tpu.models.video_archs import MEGAArch
     model = MEGAArch(depth=50, num_classes=6, memory_size=32,
-                     post_nms_train=32, pixel_attend_local=True)
+                     post_nms_train=32, relation_stages=0,
+                     pixel_attend_local=True)
     cur, refs = imgs[:1], imgs[1:]
     gt_boxes = jnp.asarray([[4.0, 4.0, 40.0, 30.0]])
     gt_labels = jnp.asarray([2], jnp.int32)
@@ -196,6 +248,7 @@ def test_mega_train_loss_pixel_attend(imgs):
     variables = model.init(rngs, cur, refs, None, None, (H, W),
                            gt_boxes, gt_labels, gt_valid,
                            method=MEGAArch.train_loss_mega)
+    assert "pixel_attn" in variables["params"]
     losses = model.apply(variables, cur, refs, None, None, (H, W),
                          gt_boxes, gt_labels, gt_valid,
                          method=MEGAArch.train_loss_mega,

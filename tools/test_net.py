@@ -211,7 +211,9 @@ def main():
                 bbox_aug_scales=tuple(cfg.TEST.BBOX_AUG.SCALES),
                 bbox_aug_max_size=int(cfg.TEST.BBOX_AUG.MAX_SIZE),
                 bbox_aug_scale_h_flip=bool(cfg.TEST.BBOX_AUG.SCALE_H_FLIP),
-                shuffled_cur=bool(cfg.MODEL.VID.MEGA.SHUFFLED_CUR_TEST))
+                shuffled_cur=bool(cfg.MODEL.VID.MEGA.SHUFFLED_CUR_TEST),
+                all_frame_interval=int(cfg.MODEL.VID.MEGA.ALL_FRAME_INTERVAL),
+                key_frame_location=int(cfg.MODEL.VID.MEGA.KEY_FRAME_LOCATION))
 
     if args.box_only or cfg.MODEL.RPN_ONLY:
         # proposal-recall mode (reference vid_eval.py:26-37, 85-130):

@@ -79,8 +79,18 @@ def main():
     # multi-scale training: keep the whole MIN_SIZE_TRAIN tuple — the
     # sampler jitters per sample (transforms.py Resize random choice)
     min_train = cfg.INPUT.MIN_SIZE_TRAIN
+    # ATTENTION.ENABLE training samples local ref frames ahead of the
+    # globals: the decoder's conditioned stage trains on [cur, locals…]
+    # (box_head.py:325-346; frames ordered [cur, locals…, globals…])
+    attn_cfg = cfg.MODEL.VID.ROI_BOX_HEAD.ATTENTION
+    num_local = (mega.REF_NUM_LOCAL
+                 if is_diffusion and attn_cfg.ENABLE and attn_cfg.STAGE > 0
+                 else 0)
     sample_cfg = SampleConfig(
         num_global=num_global,
+        num_local=num_local,
+        local_min_offset=mega.MIN_OFFSET,
+        local_max_offset=mega.MAX_OFFSET,
         min_size=tuple(min_train) if isinstance(min_train, (tuple, list))
         else min_train,
         max_size=cfg.INPUT.MAX_SIZE_TRAIN,
@@ -94,7 +104,7 @@ def main():
     # init (shape-independent params)
     h, w = 64, 96
     if is_diffusion:
-        b = 1 + num_global
+        b = 1 + num_local + num_global
         noisy = jnp.tile(jnp.asarray([8.0, 8.0, 60.0, 40.0]),
                          (b, model.num_proposals, 1))
         variables = model.init(
@@ -269,7 +279,8 @@ def main():
             # Iteration-derived RNG (resume determinism; also keeps the
             # prefetch thread's draws independent of this thread)
             reuse_rng = np.random.RandomState((7654321 + it) % (2**31 - 1))
-            first_g = 1 if is_diffusion else 1 + spec.num_local + spec.num_mem
+            first_g = (1 + num_local if is_diffusion
+                       else 1 + spec.num_local + spec.num_mem)
             for smp in samples:
                 j = reuse_rng.randint(first_g, smp["images"].shape[0])
                 for key in ("images", "gt_boxes", "gt_labels", "gt_valid"):

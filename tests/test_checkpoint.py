@@ -92,6 +92,7 @@ def test_torch_name_conversion():
     assert tree["head"]["global_attn0"]["in_proj_bias"].shape == (768,)
 
 
+@pytest.mark.slow  # full model init: ~40 s on this 1-CPU host
 def test_conversion_covers_model_tree():
     """Every converted name must exist in the real model tree (no orphans)."""
     from diffusionvid_tpu.models.diffusion_det import DiffusionDetArch

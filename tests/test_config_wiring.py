@@ -115,6 +115,7 @@ def test_relation_stage_count_changes_structure():
         p3["params"])
 
 
+@pytest.mark.slow  # DynamicHead jit: 13-19 s each (suite budget)
 def test_dynamic_head_local_attention_semantics():
     """ATTENTION.ENABLE: the local chain adds params, and — matching the
     reference's adaptive-norm data flow (box_head.py:361-385: the global
@@ -160,6 +161,7 @@ def test_dynamic_head_local_attention_semantics():
     assert not np.allclose(np.asarray(lo_solo[-1]), np.asarray(lo_on[-1]))
 
 
+@pytest.mark.slow  # DynamicHead jit: 13-19 s each (suite budget)
 def test_dynamic_head_global_disable_requires_local():
     """GLOBAL.ENABLE=False without a local chain has no conditioning
     signal — must raise rather than silently skip (box_head.py:361-394:
@@ -195,6 +197,7 @@ def test_shuffled_cur_rejects_non_mega():
                                  shuffled_cur=True)
 
 
+@pytest.mark.slow  # DynamicHead jit: 13-19 s each (suite budget)
 def test_dynamic_head_local_train_frame_slicing():
     """ATTENTION.ENABLE training slices the conditioned stage's queries/
     features/time to the local frames (local_interval=3, box_head.py:

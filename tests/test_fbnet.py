@@ -11,7 +11,15 @@ from diffusionvid_tpu.models.fbnet import (
     InvertedResidual, _channel_shuffle, _expand_blocks)
 
 
-@pytest.mark.parametrize("arch", sorted(FBNET_ARCHS))
+# the chameleon/default trunks are the heaviest jits in the default suite
+# (20-33 s each on this 1-CPU host) — keep one representative trunk fast,
+# run the rest with -m slow (suite budget, pytest.ini)
+_HEAVY_TRUNKS = {"default", "cham_v1a", "cham_v2"}
+
+
+@pytest.mark.parametrize(
+    "arch", [pytest.param(a, marks=pytest.mark.slow) if a in _HEAVY_TRUNKS
+             else pytest.param(a) for a in sorted(FBNET_ARCHS)])
 def test_trunk_shapes(arch):
     m = FBNetTrunk(arch=arch)
     x = jnp.zeros((1, 64, 96, 3))
@@ -22,7 +30,10 @@ def test_trunk_shapes(arch):
     assert np.isfinite(np.asarray(y)).all()
 
 
-@pytest.mark.parametrize("arch", ["default", "cham_v1a", "cham_v2"])
+@pytest.mark.parametrize(
+    "arch", ["default",
+             pytest.param("cham_v1a", marks=pytest.mark.slow),
+             pytest.param("cham_v2", marks=pytest.mark.slow)])
 def test_bbox_and_rpn_heads(arch):
     trunk_c = FBNetTrunk(arch=arch).out_channels
     x = jnp.zeros((2, 7, 7, trunk_c))

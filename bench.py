@@ -370,6 +370,24 @@ def bench_adjudicate(r101_model, r101_variables, swin_built):
                   flush=True)
         os.environ.pop("DIFFUSIONVID_ROI_BWD_KERNEL", None)
         stage_done("adjudicate:roibwd_off", 180, t0)
+    # Fused DynamicConv kernel (round 5, ops/dynamic_conv_pallas.py) is
+    # the promoted default; this line measures the XLA-einsum route so
+    # the head-to-head stays in every BENCH_rN.
+    if stage_fits("adjudicate:dynconv_off", 240):
+        t0 = time.perf_counter()
+        os.environ["DIFFUSIONVID_DYNCONV_KERNEL"] = "0"
+        try:
+            import jax as _jax
+            _jax.clear_caches()
+            model, variables, whwh, frames = build(101, "resnet", INFER_BATCH)
+            det, state = make_detector(model, variables, INFER_BATCH, 1)
+            fps = stream_fps(det, state, frames, whwh, INFER_BATCH, chunks=30)
+            emit("diffusionvid_r101_x1_stream_inference_dynconv_off", fps,
+                 "frames/sec/chip", REFERENCE_FPS)
+        except Exception as e:
+            print(f"# dynconv-off variant skipped: {e!r}"[:300], flush=True)
+        os.environ.pop("DIFFUSIONVID_DYNCONV_KERNEL", None)
+        stage_done("adjudicate:dynconv_off", 240, t0)
     # ROIAlign forward v3 (round-3 one-hot VPU x-pass) vs the default v4
     # (MXU-dot x-pass, native row-major flat store): the default-path
     # headline above measures v4; this line keeps the v3 regression
@@ -391,10 +409,16 @@ def bench_adjudicate(r101_model, r101_variables, swin_built):
         stage_done("adjudicate:roifwd_v3", 240, t0)
 
 
-def _probe_device(timeout_s=600):
+def _probe_device(timeout_s=None):
     """Fail FAST with a diagnostic if the TPU backend is unreachable —
     backend init over a dead axon tunnel otherwise blocks indefinitely
-    and the whole bench hangs until the driver's timeout."""
+    and the whole bench hangs until the driver's timeout.  Budget is
+    env-tunable (DIFFUSIONVID_PROBE_TIMEOUT_S); tunnel init has been
+    observed anywhere from 35 s to 170+ s, with occasional multi-minute
+    wedges that recover on retry."""
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("DIFFUSIONVID_PROBE_TIMEOUT_S",
+                                         "600"))
     import threading
 
     ok = []

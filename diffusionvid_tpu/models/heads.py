@@ -27,6 +27,7 @@ batch=1).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
@@ -68,9 +69,13 @@ class LayerNorm(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x=None, params_only: bool = False):
         g = self.param("weight", nn.initializers.ones, (self.features,))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
+        if params_only:
+            # fused-kernel callers consume (weight, bias) directly while
+            # keeping the parameter tree (and checkpoints) unchanged
+            return g, b
         xf = x.astype(jnp.float32)
         mu = xf.mean(-1, keepdims=True)
         var = ((xf - mu) ** 2).mean(-1, keepdims=True)
@@ -135,10 +140,18 @@ class DynParamLinear(nn.Module):
     batched matmuls that consume them.  Without this, XLA re-lays out
     the [S, d, dd] activation per stage (profiled ~0.2 ms/stage); the
     row permute touches only the 16 MB weight instead.  Exact same
-    arithmetic (a row permutation commutes with the matmul)."""
+    arithmetic (a row permutation commutes with the matmul).
+
+    ``p2_major="e"`` (the fused-kernel orientation) skips the second
+    permute entirely: params2's torch-native flat order is already
+    e-major ([S, dd, d] view, loss head ``box_head.py:694-698``), so the
+    raw GEMM output reshapes to [S, dd, d] with minor dim d=256 — two
+    clean 128-lane tiles, no padded relayout (the d-major [S, d, dd]
+    form pads lanes 64→128: the profiled 0.61 ms/chunk reshape)."""
 
     d: int
     dd: int
+    p2_major: str = "d"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -151,9 +164,12 @@ class DynParamLinear(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (2 * h,))
         w1 = w[:h].reshape(d, dd, in_f).transpose(1, 0, 2).reshape(h, in_f)
         b1 = b[:h].reshape(d, dd).T.reshape(h)
+        h1 = x @ w1.astype(self.dtype).T + b1.astype(self.dtype)
+        if self.p2_major == "e":
+            h2 = x @ w[h:].astype(self.dtype).T + b[h:].astype(self.dtype)
+            return (h1.reshape(-1, dd, d), h2.reshape(-1, dd, d))
         w2 = w[h:].reshape(dd, d, in_f).transpose(1, 0, 2).reshape(h, in_f)
         b2 = b[h:].reshape(dd, d).T.reshape(h)
-        h1 = x @ w1.astype(self.dtype).T + b1.astype(self.dtype)
         h2 = x @ w2.astype(self.dtype).T + b2.astype(self.dtype)
         return (h1.reshape(-1, dd, d), h2.reshape(-1, d, dd))
 
@@ -201,16 +217,35 @@ class DynamicConv(nn.Module):
         the final flatten → ``out_layer`` matmul consumes converted
         weights unmodified."""
         d, dd = self.hidden_dim, self.dim_dynamic
-        p1t, p2t = DynParamLinear(d, dd, dtype=self.dtype,
+        # DIFFUSIONVID_DYNCONV_KERNEL: "1" fused Pallas chain (TPU),
+        # "nn" einsum with e-major p2 (no kernel), "0" einsum NT form.
+        mode = os.environ.get("DIFFUSIONVID_DYNCONV_KERNEL", "1")
+        use_kernel = (jax.default_backend() in ("tpu", "axon")
+                      and mode not in ("0", "nn"))
+        # p1t [S, dd, d] == p1^T in every mode; the second projection is
+        # e-major [S, dd, d] for the kernel and the nn-einsum (layout-free
+        # reshape from the GEMM) or d-major [S, d, dd] (NT einsum form).
+        p2_major = "e" if (use_kernel or mode == "nn") else "d"
+        p1t, p2x = DynParamLinear(d, dd, p2_major=p2_major,
+                                  dtype=self.dtype,
                                   name="dynamic_layer")(pro_features)
-        # p1t [S, dd, d] == p1^T, p2t [S, d, dd] == p2^T: both batched
-        # matmuls contract the minor dim of each operand (NT form)
-        x = jnp.einsum("spd,sed->spe", roi_features, p1t,
-                       preferred_element_type=jnp.float32).astype(roi_features.dtype)
-        x = nn.relu(LayerNorm(dd, name="norm1")(x))
-        x = jnp.einsum("spe,sde->spd", x, p2t,
-                       preferred_element_type=jnp.float32).astype(roi_features.dtype)
-        x = nn.relu(LayerNorm(d, name="norm2")(x))
+        if use_kernel:
+            # fused Pallas chain: the per-proposal bmm→LN→relu→bmm→LN→
+            # relu stays in VMEM (r5 profile: the XLA einsum path spent
+            # 5.26 ms/chunk on relayout copies + unfused norms around
+            # ~1.1 ms of matmul; see ops/dynamic_conv_pallas.py)
+            from ..ops.dynamic_conv_pallas import dynamic_conv_fused
+            g1, b1 = LayerNorm(dd, name="norm1")(params_only=True)
+            g2, b2 = LayerNorm(d, name="norm2")(params_only=True)
+            x = dynamic_conv_fused(roi_features, p1t, p2x, g1, b1, g2, b2)
+        else:
+            x = jnp.einsum("spd,sed->spe", roi_features, p1t,
+                           preferred_element_type=jnp.float32).astype(roi_features.dtype)
+            x = nn.relu(LayerNorm(dd, name="norm1")(x))
+            x = jnp.einsum("spe,sed->spd" if p2_major == "e" else
+                           "spe,sde->spd", x, p2x,
+                           preferred_element_type=jnp.float32).astype(roi_features.dtype)
+            x = nn.relu(LayerNorm(d, name="norm2")(x))
 
         x = x.reshape(x.shape[0], -1)  # [S, 49*D]
         x = OutLayer(d, self.pooler_resolution,

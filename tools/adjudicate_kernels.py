@@ -136,15 +136,42 @@ def adjudicate_roi_fwd():
     os.environ.pop("DIFFUSIONVID_ROI_FWD_VERSION", None)
 
 
+def adjudicate_dynconv():
+    """DIFFUSIONVID_DYNCONV_KERNEL = 1 | nn | 0: the fused DynamicConv
+    Pallas chain (ops/dynamic_conv_pallas.py) vs the e-major NN einsum
+    vs the d-major NT einsum (models/heads.py:DynamicConv).  All three
+    in ONE process so the tunnel/session conditions are identical."""
+    model, variables, whwh, frames = bench.build(101, "resnet",
+                                                 bench.INFER_BATCH)
+    for mode in ("1", "nn", "0"):
+        os.environ["DIFFUSIONVID_DYNCONV_KERNEL"] = mode
+        jax.clear_caches()
+        t0 = time.perf_counter()
+        det, state = bench.make_detector(model, variables,
+                                         bench.INFER_BATCH, 1)
+        try:
+            fps = bench.stream_fps(det, state, frames, whwh,
+                                   bench.INFER_BATCH, chunks=30)
+        except Exception as e:
+            emit("dynconv_kernel", mode, -1.0, "frames/sec/chip",
+                 {"error": repr(e)[:200]})
+            continue
+        emit("dynconv_kernel", mode, fps, "frames/sec/chip",
+             {"compile_s": round(time.perf_counter() - t0, 1)})
+    os.environ.pop("DIFFUSIONVID_DYNCONV_KERNEL", None)
+
+
 def main():
     bench._probe_device()
-    which = set(sys.argv[1:]) or {"swin", "roi", "roifwd"}
+    which = set(sys.argv[1:]) or {"swin", "roi", "roifwd", "dynconv"}
     if "swin" in which:
         adjudicate_swin()
     if "roi" in which:
         adjudicate_roi_bwd()
     if "roifwd" in which:
         adjudicate_roi_fwd()
+    if "dynconv" in which:
+        adjudicate_dynconv()
 
 
 if __name__ == "__main__":

@@ -237,6 +237,28 @@ class DiffusionDetArch(nn.Module):
     def normalize(self, images):
         mean = jnp.asarray(self.pixel_mean)
         std = jnp.asarray(self.pixel_std)
+        if self.backbone_type == "swin" and images.shape[2] % 4 == 0:
+            # same trick for the Swin patch embed: its 4×4/s4 conv aligns
+            # exactly with a W-pack-4 view (one group per output column),
+            # lifting stem lane utilization 3/128 → 12/128 with identical
+            # arithmetic (swin.py:SwinTransformer, cin == 12).
+            b, h, w, c = images.shape
+            images = images.reshape(b, h, w // 4, 4 * c)
+            mean = jnp.tile(mean, 4)
+            std = jnp.tile(std, 4)
+        elif self.backbone_type != "swin" and images.shape[2] % 2 == 0:
+            # W-only space-to-depth view BEFORE the normalize so the
+            # stem's packed layout is produced by the normalize fusion
+            # itself: with the reshape after it, XLA materialized a
+            # separate 60 MB relayout copy of the packed view
+            # (round-5 profile: copy.4150, 0.87 ms/chunk at 69 GB/s).
+            # Identical arithmetic — the (w, c) pair is adjacent in
+            # memory, and mean/std just tile ×2.  StemConv consumes the
+            # packed form directly (resnet.py:StemConv, cin == 6).
+            b, h, w, c = images.shape
+            images = images.reshape(b, h, w // 2, 2 * c)
+            mean = jnp.tile(mean, 2)
+            std = jnp.tile(std, 2)
         return ((images - mean) / std).astype(self.compute_dtype)
 
     def features(self, images):

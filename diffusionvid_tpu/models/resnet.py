@@ -114,12 +114,13 @@ class StemConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, cin = x.shape
+        b, h, w, cpacked = x.shape
+        cin = 3 if cpacked == 6 else cpacked
         kw = self.param(
             "weight",
             nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
             (self.features, cin, 7, 7))
-        if h % 2 or w % 2:   # odd extents: keep the direct formulation
+        if cpacked != 6 and (h % 2 or w % 2):   # odd extents: direct form
             w_hwio = jnp.transpose(kw, (2, 3, 1, 0)).astype(self.dtype)
             return lax.conv_general_dilated(
                 x.astype(self.dtype), w_hwio, (2, 2), [(3, 3), (3, 3)],
@@ -127,8 +128,12 @@ class StemConv(nn.Module):
         # W-only space-to-depth: [B, H, W/2, (px, c)] — a FREE view (the
         # (w, c) pair is already adjacent in memory; no transpose, no
         # strided slice).  The H stride stays in the conv, which XLA
-        # handles natively.
-        x2 = x.reshape(b, h, w // 2, 2 * cin)
+        # handles natively.  Callers may pass the packed [B, H, W/2, 6]
+        # form directly (DiffusionDetArch.normalize does, so the packing
+        # fuses into the normalize pass instead of a separate relayout
+        # copy); the parameter keeps the torch [64, 3, 7, 7] layout
+        # either way.
+        x2 = x if cpacked == 6 else x.reshape(b, h, w // 2, 2 * cin)
         # kernel: zero-pad W taps -3..3 → -4..3, split 8 = 2·kx + px
         k8 = jnp.pad(kw, ((0, 0), (0, 0), (0, 0), (1, 0)))
         k2 = k8.reshape(self.features, cin, 7, 4, 2)

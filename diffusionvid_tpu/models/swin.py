@@ -90,8 +90,14 @@ class WindowAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None, train: bool = False):
-        """x [B, Hp, Wp, C]; mask [nW, w², w²] or None → [B, Hp, Wp, C]."""
+    def __call__(self, x, mask=None, train: bool = False, fused_block=None):
+        """x [B, Hp, Wp, C]; mask [nW, w², w²] or None → [B, Hp, Wp, C].
+
+        ``fused_block=(ln_g, ln_b, valid_hw, shift)`` selects the v3
+        whole-half-block kernel: x is the (pre-rolled) residual stream and
+        the return value is ``x + attn_block(x)`` — LN1, pad-zero, window
+        attention, out-projection and the residual all fused in one
+        Pallas call (inference path; SwinBlock gates it)."""
         b, hp, wpx, c = x.shape
         n = self.window * self.window
         h = self.num_heads
@@ -108,12 +114,29 @@ class WindowAttention(nn.Module):
         bias = (table[idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
                 .astype(jnp.float32))
 
+        if fused_block is not None:
+            from ..ops.swin_attention_pallas import fused_swin_block_attn
+            wp_ = self.param("proj_weight", nn.initializers.xavier_uniform(),
+                             (c, c))
+            bp_ = self.param("proj_bias", nn.initializers.zeros, (c,))
+            ln_g, ln_b, valid_hw, shift = fused_block
+            m4 = (None if mask is None else
+                  mask.reshape(hp // w, wpx // w, n, n))
+            return fused_swin_block_attn(
+                x, ln_g, ln_b, wqkv, bqkv, bias, m4, wp_, bp_, w, h,
+                valid_hw, shift=shift)
+
         import os
         # v2 (qkv folded into the kernel) is the adjudicated default:
         # real-chip head-to-head (round 4, tools/adjudicate_kernels.py)
         # measured off=51.9 / v1=73.5 / v2=79.1 fps/chip on Swin-B ×1.
         # DIFFUSIONVID_SWIN_KERNEL=off|v1 selects the other modes.
         kernel_mode = os.environ.get("DIFFUSIONVID_SWIN_KERNEL", "v2")
+        if kernel_mode == "v3":
+            # v3 is the SwinBlock-level fused-half-block mode; inside
+            # WindowAttention (train path, or a caller without
+            # fused_block) it degrades to v2
+            kernel_mode = "v2"
         # v2 is usable in training too: it carries a custom VJP whose
         # backward recomputes through the einsum twin
         # (ops/swin_attention_pallas.py:_fwa_bwd).  v1 stays
@@ -207,6 +230,41 @@ class SwinBlock(nn.Module):
         w = self.window
         shift = self.shift if min(hp, wp) > w else 0
 
+        import os
+        # v3 (whole half-blocks fused: LN1+qkv+attn+proj+residual in one
+        # Pallas call, LN2+MLP+residual in a second) is the round-5
+        # default — the XLA LN/roll/residual ops between the v2 kernels
+        # ran at ~40 GB/s effective vs the chip's 354 GB/s elementwise
+        # (round-5 micro), and fusing them halved the Swin-B block cost.
+        kernel_mode = os.environ.get("DIFFUSIONVID_SWIN_KERNEL", "v3")
+        use_v3 = (jax.default_backend() in ("tpu", "axon")
+                  and kernel_mode == "v3" and not train
+                  and hp % w == 0 and wp % w == 0
+                  and not os.environ.get("DIFFUSIONVID_SWIN_NO_KERNEL"))
+        if use_v3:
+            g1, b1 = LayerNorm(c, name="norm1")(params_only=True)
+            if shift > 0:
+                xr = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+                mask = jnp.asarray(_shift_attn_mask(hp, wp, w, shift))
+            else:
+                xr, mask = x, None
+            y = WindowAttention(c, w, self.num_heads, dtype=self.dtype,
+                                name="attn")(
+                xr, mask, train=False,
+                fused_block=(g1, b1, (h, wd), shift))
+            if shift > 0:
+                y = jnp.roll(y, (shift, shift), axis=(1, 2))
+            g2, b2 = LayerNorm(c, name="norm2")(params_only=True)
+            hidden = int(c * self.mlp_ratio)
+            w1 = self.param("mlp_fc1_weight", nn.initializers.xavier_uniform(),
+                            (hidden, c))
+            b1m = self.param("mlp_fc1_bias", nn.initializers.zeros, (hidden,))
+            w2 = self.param("mlp_fc2_weight", nn.initializers.xavier_uniform(),
+                            (c, hidden))
+            b2m = self.param("mlp_fc2_bias", nn.initializers.zeros, (c,))
+            from ..ops.swin_attention_pallas import fused_swin_block_mlp
+            return fused_swin_block_mlp(y, g2, b2, w1, b1m, w2, b2m, rows=w)
+
         shortcut = x
         y = LayerNorm(c, name="norm1")(x)
         if (hp, wp) != (h, wd):
@@ -294,14 +352,28 @@ class SwinTransformer(nn.Module):
     def __call__(self, x, train: bool = False):
         """x [B, H, W, 3] → dict of NHWC stage outputs."""
         ed = self.embed_dim
-        # patch embed: conv 4×4 stride 4 (torch layout) + LN
+        # patch embed: conv 4×4 stride 4 (torch layout) + LN.  Callers may
+        # pass the W-pack-4 view [B, H, W/4, 12] (DiffusionDetArch.
+        # normalize does): the 4×4/s4 conv aligns exactly with the packing
+        # — one pixel group per output column — so it becomes a (4, 1)/s
+        # (4, 1) conv over 12 channels with identical arithmetic and 4×
+        # the stem lane utilization.  The parameter keeps the torch
+        # [ed, 3, 4, 4] layout either way.
         wpe = self.param("patch_embed_weight",
                          nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
                          (ed, 3, 4, 4))
         bpe = self.param("patch_embed_bias", nn.initializers.zeros, (ed,))
-        x = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), jnp.transpose(wpe, (2, 3, 1, 0)).astype(self.dtype),
-            (4, 4), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if x.shape[-1] == 12:
+            # [ky, kx, c, o] → [ky, 1, (kx·c)=12, o]; (kx, c) adjacent
+            # matches the input's (px, c) packing
+            kp = jnp.transpose(wpe, (2, 3, 1, 0)).reshape(4, 1, 12, ed)
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kp.astype(self.dtype),
+                (4, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        else:
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), jnp.transpose(wpe, (2, 3, 1, 0)).astype(self.dtype),
+                (4, 4), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
         x = x + bpe.astype(self.dtype)
         x = LayerNorm(ed, name="patch_norm")(x)
 

@@ -73,24 +73,41 @@ def _kernel(roi_ref, p1_ref, p2_ref, g1_ref, b1_ref, g2_ref, b2_ref,
     b1 = b1_ref[:]
     g2 = g2_ref[:]          # [1, D] fp32
     b2 = b2_ref[:]
-    for p in range(_PB):
-        roi = roi_ref[p]                                     # [P, D]
-        # x1 = roi @ p1t^T   (NT: contraction minor on both operands)
-        a32 = jax.lax.dot_general(
-            roi, p1_ref[p], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [P, E]
-        # match the einsum path's rounding: round to compute dtype,
-        # LayerNorm in fp32 of the rounded value
-        a32 = a32.astype(cdtype).astype(jnp.float32)
-        r1 = jnp.maximum(_ln_rows(a32, g1, b1, eps), 0.0).astype(cdtype)
-        # x2 = r1 @ p2 (NN: p2 is e-major [E, D], contraction on its
-        # sublane dim — no transposed operand anywhere)
-        b32 = jax.lax.dot_general(
-            r1, p2_ref[p], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [P, D]
-        b32 = b32.astype(cdtype).astype(jnp.float32)
-        r2 = jnp.maximum(_ln_rows(b32, g2, b2, eps), 0.0)
-        out_ref[p] = r2.astype(cdtype)
+    if os.environ.get("DIFFUSIONVID_DYNCONV_UNROLL"):
+        # per-proposal unrolled form (the round-5 original; kept as the
+        # regression reference — the batched form below measured equal
+        # or better on-chip and issues _PB× fewer ops)
+        for p in range(_PB):
+            roi = roi_ref[p]                                     # [P, D]
+            a32 = jax.lax.dot_general(
+                roi, p1_ref[p], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)              # [P, E]
+            a32 = a32.astype(cdtype).astype(jnp.float32)
+            r1 = jnp.maximum(_ln_rows(a32, g1, b1, eps), 0.0).astype(cdtype)
+            b32 = jax.lax.dot_general(
+                r1, p2_ref[p], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)              # [P, D]
+            b32 = b32.astype(cdtype).astype(jnp.float32)
+            r2 = jnp.maximum(_ln_rows(b32, g2, b2, eps), 0.0)
+            out_ref[p] = r2.astype(cdtype)
+        return
+    # batched over the _PB proposals of the block: one pair of batched
+    # dots instead of _PB unrolled pairs.
+    # x1 = roi @ p1t^T  (NT: contraction minor on both operands)
+    a32 = jax.lax.dot_general(
+        roi_ref[...], p1_ref[...], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # [PB, P, E]
+    # match the einsum path's rounding: round to compute dtype,
+    # LayerNorm in fp32 of the rounded value
+    a32 = a32.astype(cdtype).astype(jnp.float32)
+    r1 = jnp.maximum(_ln_rows(a32, g1, b1, eps), 0.0).astype(cdtype)
+    # x2 = r1 @ p2 (NN: p2 is e-major [PB, E, D], contraction on its
+    # sublane dim — no transposed operand anywhere)
+    b32 = jax.lax.dot_general(
+        r1, p2_ref[...], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # [PB, P, D]
+    b32 = b32.astype(cdtype).astype(jnp.float32)
+    out_ref[...] = jnp.maximum(_ln_rows(b32, g2, b2, eps), 0.0).astype(cdtype)
 
 
 def dynamic_conv_ref(roi, p1t, p2e, g1, b1, g2, b2, eps=_EPS):

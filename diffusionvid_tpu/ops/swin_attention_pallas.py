@@ -21,11 +21,14 @@ chip — round 3's kernels died in Mosaic's infer-vector-layout pass on a
   * the LANE dimension is always the full channel width C; reshapes only
     ever split/merge sublane and implicit dims (``[w,t·w,C] ⇄ [t,49,C]``
     lowers; any reshape splitting C into (h, dh) does not);
-  * heads are extracted with *static lane slices* ``x[:, j·dh:(j+1)·dh]``
+  * heads are extracted with *static lane slices* ``x[:, :, j·dh:(j+1)·dh]``
     stacked on a leading implicit dim (supported at 32-element offsets),
     and merged back with a lane-dim concatenate;
-  * the per-window loop is a ``fori_loop`` whose dynamic index lands on
-    the leading dim of VMEM *refs* (scratch), never on a traced value;
+  * attention over the stripe's T windows runs as ONE pair of batched
+    [h·T, 49, ·] ``dot_general``s with a vectorized softmax between —
+    the earlier per-window ``fori_loop`` was issue-rate bound (786 ns
+    per window of tiny slices + [h,49,32] dots; 2.56 ms per stage-0
+    block of Swin-B, round-5 profile);
   * the relative-position bias rides along as a full-VMEM [h, 49, 49]
     fp32 block; the SW-MSA mask as a [1, T, 49, 49] stripe block.
 """
@@ -54,53 +57,48 @@ def _win_relayout_inv(x, w: int, t: int):
             .reshape(w, t * w, c))
 
 
-def _split_heads(x, h: int, dh: int):
-    """[N, C] → [h, N, dh] via static lane slices (no lane-splitting
-    reshape — that shape cast is what Mosaic refuses to lower)."""
-    return jnp.concatenate(
-        [x[:, j * dh:(j + 1) * dh][None] for j in range(h)], axis=0)
-
-
-def _merge_heads(o, h: int):
-    """[h, N, dh] → [N, C] via lane-dim concat of static head slices."""
-    return jnp.concatenate([o[j] for j in range(h)], axis=-1)
-
-
 def _attention_stripe(q_s, k_s, v_s, bias, mask_ref, o_s, *, h: int,
                       t: int, scale: float, compute_dtype):
-    """Per-window attention over [T, 49, C] VMEM scratch refs into o_s.
-    The loop indexes the scratch REFS with the traced counter — a
-    dynamic leading-index load lowers to a vector load with dynamic
-    start.  Heads live on a leading implicit dim of in-register values
-    only (built by static lane slices).  ``mask_ref`` is the
-    [1, T, 49, 49] input ref, or None."""
+    """Attention over all T windows of a stripe AT ONCE — batched
+    [h·T, 49, ·] dots instead of a per-window ``fori_loop`` (the loop
+    form was issue-rate bound: stage-0 of Swin-B spent 2.56 ms/block on
+    ~3 GFLOP of attention — 786 ns per window iteration of tiny VPU
+    slices + [h,49,32] dots; round-5 profile).  Heads are extracted
+    with static lane slices ONCE per stripe and batched on the leading
+    (head-major) dim; softmax runs vectorized over the whole
+    [h, T, 49, 49] score block.  ``mask_ref`` is the [1, T, 49, 49]
+    input ref, or None."""
     c = q_s.shape[-1]
     dh = c // h
+    n = q_s.shape[1]
 
-    def body(i, _):
-        qh = _split_heads(q_s[i], h, dh)           # [h, 49, dh]
-        kh = _split_heads(k_s[i], h, dh)
-        vh = _split_heads(v_s[i], h, dh)
-        # [h, 49, dh] @ [h, 49, dh]^T -> [h, 49, 49], fp32 accumulation
-        s = jax.lax.dot_general(
-            qh, kh, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
-        # matches the XLA path: scores cross to the softmax in the
-        # compute dtype (bf16 on TPU), bias/mask/softmax in fp32
-        s = s.astype(compute_dtype).astype(jnp.float32) + bias
-        if mask_ref is not None:
-            s = s + mask_ref[0, i][None]
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(compute_dtype)
-        # [h, 49, 49] @ [h, 49, dh] -> [h, 49, dh]
-        o = jax.lax.dot_general(
-            p, vh, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        o_s[i] = _merge_heads(o, h).astype(o_s.dtype)
-        return 0
+    def heads(ref):
+        x = ref[...]                               # [T, n, C]
+        return jnp.concatenate(
+            [x[:, :, j * dh:(j + 1) * dh] for j in range(h)],
+            axis=0)                                # [h·T, n, dh] head-major
 
-    jax.lax.fori_loop(0, t, body, 0)
+    qh, kh, vh = heads(q_s), heads(k_s), heads(v_s)
+    # [h·T, n, dh] @ [h·T, n, dh]^T -> [h·T, n, n], fp32 accumulation
+    s = jax.lax.dot_general(
+        qh, kh, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    # matches the XLA path: scores cross to the softmax in the
+    # compute dtype (bf16 on TPU), bias/mask/softmax in fp32
+    s = s.astype(compute_dtype).astype(jnp.float32)
+    s4 = s.reshape(h, t, n, n) + bias[:, None]     # leading-dim split only
+    if mask_ref is not None:
+        s4 = s4 + mask_ref[0][None]
+    s4 = s4 - jnp.max(s4, axis=-1, keepdims=True)
+    e = jnp.exp(s4)
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(compute_dtype)
+    # [h·T, n, n] @ [h·T, n, dh] -> [h·T, n, dh]
+    o = jax.lax.dot_general(
+        p.reshape(h * t, n, n), vh, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o4 = o.reshape(h, t, n, dh)
+    o_s[...] = jnp.concatenate([o4[j] for j in range(h)],
+                               axis=-1).astype(o_s.dtype)
 
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, o_s, q_s, k_s, v_s,
@@ -267,6 +265,178 @@ def _fwa_bwd(window, num_heads, res, g):
 
 
 fused_window_attention_qkv_trainable.defvjp(_fwa_fwd, _fwa_bwd)
+
+
+def _kernel_block_attn(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
+                       wproj_ref, bproj_ref, o_ref, o_s, q_s, k_s, v_s,
+                       *, w: int, h: int, t: int, scale: float,
+                       eps: float, hp: int, valid_hw, shift: int,
+                       mask_ref=None):
+    """v3: one whole Swin attention half-block per stripe —
+    LN1 → pad-zero → (pre-rolled) window attention → out-proj → +residual.
+
+    The stripe of the residual stream crosses HBM exactly twice (read x,
+    write x + attn); LN statistics, the q/k/v maps, the score tensor and
+    the projection all live in VMEM.  ``valid_hw`` is the true (H, W)
+    before window padding; the pad region of the LN output is re-zeroed
+    in rolled coordinates (the caller rolls x BEFORE the kernel — LN and
+    the zero-mask are per-token, so they commute with the roll; the mask
+    formula shifts by ``shift`` to address rolled positions)."""
+    c = x_ref.shape[-1]
+    n = w * w
+    xs = x_ref[0]                                     # [w, t·w, C] bf16
+    # LayerNorm over lanes in fp32 (models/heads.py:LayerNorm semantics)
+    xf = xs.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = (y * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32))
+    hv, wv = valid_hw
+    wp = t * w
+    if (hp, wp) != (hv, wv):
+        # zero the window-padding region (reference: pad the norm1 output
+        # with zeros, swintransformer.py:256-292) — in rolled coords.
+        # The 0/1 multiply happens on the fp32 LN value (Mosaic only
+        # broadcasts an inserted minor dim for 32-bit types); masking
+        # before vs after the bf16 round is bit-identical for a 0/1 mask.
+        j = pl.program_id(1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (w, wp), 0) + j * w
+        cols = jax.lax.broadcasted_iota(jnp.int32, (w, wp), 1)
+        ok = (((rows + shift) % hp) < hv) & (((cols + shift) % wp) < wv)
+        # cast BEFORE inserting the minor dim: Mosaic only broadcasts an
+        # inserted minor dim for 32-bit types (bool is not one)
+        y = y * ok.astype(jnp.float32)[:, :, None]
+    x = _win_relayout(y.astype(xs.dtype), w, t).reshape(t * n, c)
+
+    def proj(lo, s_ref):
+        z = jax.lax.dot_general(
+            x, wqkv_ref[lo:lo + c, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        z = z + bqkv_ref[0, lo:lo + c].astype(jnp.float32)
+        s_ref[...] = z.astype(x.dtype).reshape(t, n, c)
+
+    proj(0, q_s), proj(c, k_s), proj(2 * c, v_s)
+    _attention_stripe(q_s, k_s, v_s, bias_ref[...], mask_ref, o_s, h=h,
+                      t=t, scale=scale, compute_dtype=x.dtype)
+    om = o_s[...].reshape(t * n, c)
+    out = jax.lax.dot_general(
+        om, wproj_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out = (out + bproj_ref[0].astype(jnp.float32)).astype(xs.dtype)
+    o_ref[0] = xs + _win_relayout_inv(out.reshape(t, n, c), w, t)
+
+
+def _kernel_block_attn_masked(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
+                              bias_ref, wproj_ref, bproj_ref, mask_ref,
+                              o_ref, o_s, q_s, k_s, v_s, **kw):
+    _kernel_block_attn(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
+                       wproj_ref, bproj_ref, o_ref, o_s, q_s, k_s, v_s,
+                       mask_ref=mask_ref, **kw)
+
+
+def fused_swin_block_attn(x, ln_g, ln_b, wqkv, bqkv, bias, mask,
+                          wproj, bproj, window: int, num_heads: int,
+                          valid_hw, shift: int = 0, eps: float = 1e-5):
+    """v3 fused attention half-block (inference path).
+
+    x      : [B, Hp, Wp, C] residual stream, PRE-ROLLED when shift > 0
+    ln_g/b : [C] norm1 params;  wqkv [3C, C]; bqkv [3C]
+    bias   : [h, w², w²] fp32;  mask [nWh, nWw, w², w²] fp32 or None
+    wproj  : [C, C] torch-layout out-projection;  bproj [C]
+    valid_hw: true (H, W) before window padding (pad-zero semantics)
+    shift  : the SW-MSA roll applied by the caller (mask addressing)
+    →        [B, Hp, Wp, C]   x + attn_block(x)   (still rolled)
+    """
+    b, hp, wp, c = x.shape
+    w = window
+    h = num_heads
+    t = wp // w
+    nwh = hp // w
+    scale = float((c // h) ** -0.5)
+    stripe = pl.BlockSpec((1, w, wp, c), lambda i, j: (i, j, 0, 0))
+    vec = lambda m: pl.BlockSpec((1, m), lambda i, j: (0, 0))
+    in_specs = [stripe, vec(c), vec(c),
+                pl.BlockSpec((3 * c, c), lambda i, j: (0, 0)),
+                vec(3 * c),
+                pl.BlockSpec((h, w * w, w * w), lambda i, j: (0, 0, 0)),
+                pl.BlockSpec((c, c), lambda i, j: (0, 0)), vec(c)]
+    args = [x, ln_g.reshape(1, -1), ln_b.reshape(1, -1),
+            wqkv.astype(x.dtype), bqkv.reshape(1, -1), bias,
+            wproj.astype(x.dtype), bproj.reshape(1, -1)]
+    kern = _kernel_block_attn
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((1, t, w * w, w * w),
+                                     lambda i, j: (j, 0, 0, 0)))
+        args.append(mask)
+        kern = _kernel_block_attn_masked
+    return pl.pallas_call(
+        functools.partial(kern, w=w, h=h, t=t, scale=scale, eps=eps,
+                          hp=hp, valid_hw=tuple(valid_hw), shift=shift),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), x.dtype),
+        grid=(b, nwh),
+        in_specs=in_specs,
+        out_specs=stripe,
+        scratch_shapes=[pltpu.VMEM((t, w * w, c), x.dtype)] * 4,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(*args)
+
+
+def _kernel_block_mlp(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                      o_ref, *, eps: float):
+    """v3: the MLP half-block — LN2 → fc1 → GELU(exact) → fc2 → +residual,
+    one stripe per grid step, weights resident in VMEM."""
+    c = x_ref.shape[-1]
+    xs = x_ref[0]                                     # [rows, wp, C]
+    rows, wp = xs.shape[0], xs.shape[1]
+    xf = xs.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = (y * g_ref[0].astype(jnp.float32)
+         + b_ref[0].astype(jnp.float32)).astype(xs.dtype)
+    y = y.reshape(rows * wp, c)
+    z = jax.lax.dot_general(y, w1_ref[...], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    z = (z + b1_ref[0].astype(jnp.float32)).astype(xs.dtype)
+    # exact GELU (nn.gelu approximate=False) in fp32 of the rounded value
+    zf = z.astype(jnp.float32)
+    z = (0.5 * zf * (1.0 + jax.lax.erf(zf * (2.0 ** -0.5)))).astype(xs.dtype)
+    out = jax.lax.dot_general(z, w2_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    out = (out + b2_ref[0].astype(jnp.float32)).astype(xs.dtype)
+    o_ref[0] = xs + out.reshape(rows, wp, c)
+
+
+def fused_swin_block_mlp(x, ln_g, ln_b, w1, b1, w2, b2, rows: int = 7,
+                         eps: float = 1e-5):
+    """v3 fused MLP half-block: x + fc2(gelu(fc1(LN2(x)))) — the stripe
+    crosses HBM twice; the [4C, C]/[C, 4C] weights stay in VMEM across
+    grid steps.  ``rows`` must divide Hp (callers use the window size,
+    which divides the padded map)."""
+    b, hp, wp, c = x.shape
+    assert hp % rows == 0, (hp, rows)
+    hidden = w1.shape[0]
+    stripe = pl.BlockSpec((1, rows, wp, c), lambda i, j: (i, j, 0, 0))
+    vec = lambda m: pl.BlockSpec((1, m), lambda i, j: (0, 0))
+    return pl.pallas_call(
+        functools.partial(_kernel_block_mlp, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), x.dtype),
+        grid=(b, hp // rows),
+        in_specs=[stripe, vec(c), vec(c),
+                  pl.BlockSpec((hidden, c), lambda i, j: (0, 0)),
+                  vec(hidden),
+                  pl.BlockSpec((c, hidden), lambda i, j: (0, 0)),
+                  vec(c)],
+        out_specs=stripe,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(x, ln_g.reshape(1, -1), ln_b.reshape(1, -1), w1.astype(x.dtype),
+      b1.reshape(1, -1), w2.astype(x.dtype), b2.reshape(1, -1))
 
 
 def fused_window_attention(q, k, v, bias, mask, window: int,

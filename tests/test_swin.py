@@ -227,3 +227,99 @@ def test_fused_window_attention_qkv_vjp_matches_einsum_grads():
             np.testing.assert_allclose(np.asarray(gk), np.asarray(ge),
                                        rtol=1e-4, atol=2e-4,
                                        err_msg=name)
+
+
+def test_fused_swin_block_matches_xla_composition_interpreted():
+    """The v3 whole-half-block kernels (LN1+pad-zero+attention+proj+res,
+    LN2+MLP+res) must reproduce the SwinBlock XLA composition — padded
+    map, shifted and unshifted, including the rolled-coordinate pad-zero
+    mask."""
+    from jax.experimental.pallas import tpu as pltpu
+    from diffusionvid_tpu.ops.swin_attention_pallas import (
+        fused_swin_block_attn, fused_swin_block_mlp)
+
+    rng = np.random.RandomState(7)
+    b, c, h, w = 2, 32, 4, 7
+    hv, wv = 12, 19              # true size -> padded 14 x 21
+    hp, wp = 14, 21
+    n = w * w
+    x = jnp.asarray(rng.randn(b, hp, wp, c).astype(np.float32))
+    # the pad region of the residual stream carries stage-loop garbage;
+    # make it nonzero to prove the mask handles it
+    ln_g = jnp.asarray(1.0 + 0.1 * rng.randn(c).astype(np.float32))
+    ln_b = jnp.asarray(0.1 * rng.randn(c).astype(np.float32))
+    wqkv = jnp.asarray(rng.randn(3 * c, c).astype(np.float32)) * 0.1
+    bqkv = jnp.asarray(rng.randn(3 * c).astype(np.float32)) * 0.1
+    bias = jnp.asarray(rng.randn(h, n, n).astype(np.float32))
+    wproj = jnp.asarray(rng.randn(c, c).astype(np.float32)) * 0.1
+    bproj = jnp.asarray(rng.randn(c).astype(np.float32)) * 0.1
+
+    def ln(z, g, bb):
+        mu = z.mean(-1, keepdims=True)
+        var = ((z - mu) ** 2).mean(-1, keepdims=True)
+        return (z - mu) * jax.lax.rsqrt(var + 1e-5) * g + bb
+
+    def xla_attn_half(x, shift):
+        y = ln(x, ln_g, ln_b)
+        valid = np.zeros((1, hp, wp, 1), np.float32)
+        valid[:, :hv, :wv] = 1.0
+        y = y * jnp.asarray(valid)
+        if shift:
+            y = jnp.roll(y, (-shift, -shift), (1, 2))
+            mask = jnp.asarray(_shift_attn_mask(hp, wp, w, shift))
+        else:
+            mask = None
+        q = y @ wqkv[:c].T + bqkv[:c]
+        k = y @ wqkv[c:2 * c].T + bqkv[c:2 * c]
+        v = y @ wqkv[2 * c:].T + bqkv[2 * c:]
+        dh = c // h
+        qw = window_partition(q, w).reshape(-1, n, h, dh)
+        kw = window_partition(k, w).reshape(-1, n, h, dh)
+        vw = window_partition(v, w).reshape(-1, n, h, dh)
+        nb = qw.shape[0]
+        attn = jnp.einsum("bnhd,bmhd->bhnm", qw, kw) * (dh ** -0.5) + bias[None]
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = (attn.reshape(nb // nw, nw, h, n, n) + mask[None, :, None]
+                    ).reshape(nb, h, n, n)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, vw).reshape(nb, n, c)
+        out = window_reverse(out, w, b, hp, wp)
+        if shift:
+            out = jnp.roll(out, (shift, shift), (1, 2))
+        return x + (out @ wproj.T + bproj)
+
+    g2 = jnp.asarray(1.0 + 0.1 * rng.randn(c).astype(np.float32))
+    b2 = jnp.asarray(0.1 * rng.randn(c).astype(np.float32))
+    hidden = 2 * c
+    w1 = jnp.asarray(rng.randn(hidden, c).astype(np.float32)) * 0.1
+    b1m = jnp.asarray(rng.randn(hidden).astype(np.float32)) * 0.1
+    w2 = jnp.asarray(rng.randn(c, hidden).astype(np.float32)) * 0.1
+    b2m = jnp.asarray(rng.randn(c).astype(np.float32)) * 0.1
+
+    for shift in (0, 3):
+        ref = xla_attn_half(x, shift)
+        if shift:
+            xr = jnp.roll(x, (-shift, -shift), (1, 2))
+            m4 = jnp.asarray(_shift_attn_mask(hp, wp, w, shift)).reshape(
+                hp // w, wp // w, n, n)
+        else:
+            xr, m4 = x, None
+        with pltpu.force_tpu_interpret_mode():
+            got = fused_swin_block_attn(xr, ln_g, ln_b, wqkv, bqkv, bias,
+                                        m4, wproj, bproj, w, h, (hv, wv),
+                                        shift=shift)
+        if shift:
+            got = jnp.roll(got, (shift, shift), (1, 2))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-5, rtol=1e-4,
+                                   err_msg=f"attn half, shift={shift}")
+
+        ref2 = ref + jax.nn.gelu(ln(ref, g2, b2) @ w1.T + b1m,
+                                 approximate=False) @ w2.T + b2m
+        with pltpu.force_tpu_interpret_mode():
+            got2 = fused_swin_block_mlp(got, g2, b2, w1, b1m, w2, b2m,
+                                        rows=w)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                                   atol=5e-5, rtol=1e-4,
+                                   err_msg=f"mlp half, shift={shift}")
